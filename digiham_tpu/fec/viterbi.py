@@ -1,0 +1,194 @@
+"""Vectorized Viterbi decoders for the rate-1/2 convolutional codes.
+
+Three protocol variants share one engine (reference behavior):
+- YSF 16-state K=5 (src/ysf_decoder/trellis.c:8-109)
+- NXDN 16-state K=5 with blocked start states exploiting 4 known leading
+  zeros (src/nxdn_decoder/trellis.cpp:29-101)
+- D-Star 4-state K=3 (src/dstar_decoder/header.cpp:76-146)
+
+State = the last ``B`` decoded bits, newest in the MSB. A transition from
+previous state ``p`` with decoded bit ``b`` emits ``TRANSITIONS[p][b]`` and
+lands in state ``(b << (B-1)) | (p >> 1)``. Tie-breaking matches the
+reference exactly: the predecessor with LSB 0 wins equal metrics, and the
+lowest-numbered final state wins the final selection.
+
+The engine is a ``lax.scan`` over time with an [S]-wide min-plus step —
+path metrics live in vector registers; decisions are stored as one int per
+step for an O(T) traceback scan. ``vmap`` over frames/channels batches it.
+
+Divergence note: the reference YSF decoder accumulates its path metric in a
+uint8 which can wrap for extremely corrupted input (>255 bit errors within
+one frame); we use int32. Such frames fail the downstream CRC in both
+implementations.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Shared 16-state transition table: expected dibit emitted when leaving
+# ``previous state`` (row) with decoded bit 0 / 1 (column). Identical in the
+# YSF spec Appendix B and NXDN (trellis.c:8-25, trellis.cpp:10-27).
+TRANSITIONS_16 = np.array(
+    [
+        [0b00, 0b11], [0b11, 0b00], [0b10, 0b01], [0b01, 0b10],
+        [0b01, 0b10], [0b10, 0b01], [0b11, 0b00], [0b00, 0b11],
+        [0b01, 0b10], [0b10, 0b01], [0b11, 0b00], [0b00, 0b11],
+        [0b00, 0b11], [0b11, 0b00], [0b10, 0b01], [0b01, 0b10],
+    ],
+    dtype=np.int32,
+)
+
+# D-Star 4-state table (header.cpp:76-81) — equals the first 4 rows.
+TRANSITIONS_4 = TRANSITIONS_16[:4].copy()
+
+
+def _branch_tables(num_states: int, transitions: np.ndarray):
+    """Precompute per-(new_state, k) predecessor and expected dibit."""
+    bits = num_states.bit_length() - 1
+    prev = np.zeros((num_states, 2), dtype=np.int32)
+    expected = np.zeros((num_states, 2), dtype=np.int32)
+    for i in range(num_states):
+        outbit = (i >> (bits - 1)) & 1
+        for k in range(2):
+            p = ((i << 1) & (num_states - 2)) | k
+            prev[i, k] = p
+            expected[i, k] = transitions[p][outbit]
+    return prev, expected
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
+    """Decode one rate-1/2 stream.
+
+    observed: [..., T] int array of received dibits (0-3).
+    num_states: 16 (YSF/NXDN) or 4 (D-Star).
+    blocked_steps: NXDN prior-knowledge window — for the first N steps, a
+      new state whose low ``blocked`` bits overlap the rotating block mask
+      only considers the k=0 predecessor (trellis.cpp:34,56-57,84-85).
+
+    Returns (bits [..., T] int32, metric [...] int32).
+    """
+    transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
+    prev_tbl, exp_tbl = _branch_tables(num_states, transitions)
+    prev_tbl = jnp.asarray(prev_tbl)
+    exp_tbl = jnp.asarray(exp_tbl)
+    bits_per_state = num_states.bit_length() - 1
+
+    obs = observed.astype(jnp.int32)
+    batch_shape = obs.shape[:-1]
+    T = obs.shape[-1]
+    obs_flat = obs.reshape((-1, T))
+
+    # Per-step k=1 permission mask for blocked start states.
+    if blocked_steps:
+        allow = np.ones((T, num_states), dtype=bool)
+        blocked = num_states - 1
+        for t in range(min(blocked_steps, T)):
+            for i in range(num_states):
+                if i & blocked:
+                    allow[t, i] = False
+            blocked = (blocked << 1) & (num_states - 1)
+        allow_k1 = jnp.asarray(allow)
+    else:
+        allow_k1 = jnp.ones((T, num_states), dtype=bool)
+
+    BIG = jnp.int32(1 << 28)
+
+    def forward(metrics, inputs):
+        ob, allow = inputs
+        # distance of observed dibit to each (state, k) expected dibit
+        dist = jax.lax.population_count(ob ^ exp_tbl)  # [S, 2]
+        cand = metrics[prev_tbl] + dist  # [S, 2]
+        cand_k1 = jnp.where(allow, cand[:, 1], BIG)
+        take_k1 = cand_k1 < cand[:, 0]  # strict: k=0 wins ties
+        new_metrics = jnp.where(take_k1, cand_k1, cand[:, 0])
+        return new_metrics, take_k1
+
+    def decode_one(ob_seq):
+        init = jnp.zeros((num_states,), dtype=jnp.int32)
+        final_metrics, decisions = jax.lax.scan(
+            forward, init, (ob_seq, allow_k1)
+        )
+        best = jnp.argmin(final_metrics)  # first index wins ties
+
+        def backward(state, decision):
+            bit = state >> (bits_per_state - 1)
+            k = decision[state].astype(jnp.int32)
+            prev = ((state << 1) & (num_states - 2)) | k
+            return prev, bit
+
+        _, bits_rev = jax.lax.scan(
+            backward, best, decisions, reverse=True
+        )
+        return bits_rev, final_metrics[best]
+
+    bits, metric = jax.vmap(decode_one)(obs_flat)
+    return (
+        bits.reshape(batch_shape + (T,)),
+        metric.reshape(batch_shape),
+    )
+
+
+def viterbi_decode_np(observed, num_states: int = 16, blocked_steps: int = 0):
+    """Host-side reference-faithful implementation (control plane / tests)."""
+    transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
+    bits_per_state = num_states.bit_length() - 1
+    obs = np.asarray(observed, dtype=np.int64)
+    T = obs.shape[-1]
+
+    def one(seq):
+        metrics = np.zeros(num_states, dtype=np.int64)
+        decisions = np.zeros((T, num_states), dtype=np.int8)
+        blocked = (num_states - 1) if blocked_steps else 0
+        for t in range(T):
+            new_metrics = np.zeros(num_states, dtype=np.int64)
+            for i in range(num_states):
+                outbit = (i >> (bits_per_state - 1)) & 1
+                limit = 2
+                if blocked_steps and (i & blocked):
+                    limit = 1
+                best, sel_k = None, 0
+                for k in range(limit):
+                    p = ((i << 1) & (num_states - 2)) | k
+                    d = bin(int(seq[t]) ^ int(transitions[p][outbit])).count("1")
+                    m = metrics[p] + d
+                    if best is None or m < best:
+                        best, sel_k = m, k
+                new_metrics[i] = best
+                decisions[t, i] = sel_k
+            metrics = new_metrics
+            blocked = (blocked << 1) & (num_states - 1)
+        state = int(np.argmin(metrics))
+        bits = np.zeros(T, dtype=np.int64)
+        for t in range(T - 1, -1, -1):
+            bits[t] = state >> (bits_per_state - 1)
+            state = ((state << 1) & (num_states - 2)) | int(decisions[t, state])
+        return bits, metrics.min()
+
+    flat = obs.reshape(-1, T)
+    out_bits = np.zeros_like(flat)
+    out_metric = np.zeros(flat.shape[0], dtype=np.int64)
+    for idx in range(flat.shape[0]):
+        out_bits[idx], out_metric[idx] = one(flat[idx])
+    return out_bits.reshape(obs.shape), out_metric.reshape(obs.shape[:-1])
+
+
+def conv_encode(bits, num_states: int = 16) -> np.ndarray:
+    """Encoder (TX path + test vector generation): bits [..., T] -> dibits."""
+    transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
+    bits_per_state = num_states.bit_length() - 1
+    bits = np.asarray(bits, dtype=np.int64)
+    out = np.zeros_like(bits)
+    flat_b = bits.reshape(-1, bits.shape[-1])
+    flat_o = out.reshape(-1, bits.shape[-1])
+    for r in range(flat_b.shape[0]):
+        state = 0
+        for t in range(flat_b.shape[1]):
+            b = int(flat_b[r, t])
+            flat_o[r, t] = transitions[state][b]
+            state = ((b << (bits_per_state - 1)) | (state >> 1)) & (num_states - 1)
+    return flat_o.reshape(bits.shape)

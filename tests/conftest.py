@@ -2,8 +2,10 @@
 run without TPU hardware, and keep compilation deterministic."""
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even if the
+# session environment points at a TPU — unit tests validate logic, and the
+# 8-device virtual CPU platform is what the sharding tests need.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
