@@ -1,0 +1,286 @@
+"""2FSK / 4FSK (C4FM) symbol demodulators, TPU-native.
+
+Reference behavior (src/fsk_demodulator/fsk_demodulator.cpp:25-111,
+src/gfsk_demodulator/gfsk_demodulator.cpp:24-122): a per-symbol loop that
+(1) integrates the middle third of each symbol window, (2) tracks signal
+level min/max over a 100-symbol volume ring to derive the slicer thresholds
+(AGC), and (3) every 100 symbols computes the per-offset variance over a
+100-symbol sample ring and slews the read pointer by ±1 sample (symbol
+timing recovery).
+
+TPU-native re-design: the timing loop only updates once per 100 symbols, so
+the natural unit of work is a **century** (100 symbols). The block kernel is
+a ``lax.scan`` over centuries; *within* a century every per-symbol quantity
+vectorizes:
+
+- symbol windows: one gather -> ``[100, sps]`` matrix,
+- mid-third integration / volume average: axis reductions,
+- the sliding 100-entry AGC window: a ``[100, 100]`` windowed gather over
+  the concatenation of the previous century's volumes and this century's,
+- the timing variance: column-wise variance of the same ``[100, sps]``
+  matrix (the reference's variance ring refills exactly once per century,
+  so it needs no carry at all).
+
+The carry is tiny: read position, pending ±1 slew, and the 100-entry volume
+ring. Channels batch with ``vmap``/``shard_map``; a [C]-channel block is
+pure vector work of width C.
+
+Sample-position semantics match the reference exactly: the slew decided at
+the end of century ``c`` is applied in the *advance* of the first symbol of
+century ``c+1``, i.e. it shifts the windows of symbols 1..99 of century
+``c+1`` and every century thereafter (fsk_demodulator.cpp:37-39: advance
+happens before the variance evaluation, and the offset resets after use).
+
+Documented divergences (decision-invariant in practice):
+- The reference accumulates the timing variance in ``double``; we use
+  float32 on device (the accept window is 0 < vmin <= 5e6 — a 7-decade
+  band) — the host oracle can run either precision.
+- The reference's volume ring starts as uninitialized-but-practically-zero
+  memory; we define it as zeros.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VARIANCE_SYMBOLS = 100  # fsk_demodulator.hpp:5
+VOLUME_RB_SIZE = 100    # fsk_demodulator.hpp:6
+CENTURY = 100
+FLT_MIN = np.float32(1.17549435e-38)  # max starts at FLT_MIN (cpp:104)
+VMIN_GUARD = 5000000.0  # fsk_demodulator.cpp:70
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DemodState:
+    """Per-channel streaming carry."""
+
+    pos: jnp.ndarray          # [C] int32: read position of next symbol
+    offset: jnp.ndarray       # [C] int32: pending ±1 slew for next century
+    volume_ring: jnp.ndarray  # [C, 100] float32: last century's volumes
+
+    def tree_flatten(self):
+        return (self.pos, self.offset, self.volume_ring), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def demod_init(channels: int) -> DemodState:
+    return DemodState(
+        pos=jnp.zeros((channels,), jnp.int32),
+        offset=jnp.zeros((channels,), jnp.int32),
+        volume_ring=jnp.zeros((channels, VOLUME_RB_SIZE), jnp.float32),
+    )
+
+
+def _eval_bounds(sps: int) -> tuple[int, int]:
+    """lowestEval/highestEval = round(sps/3), round(2*sps/3) (cpp:8-10)."""
+    lo = int(np.round(sps / 3))
+    hi = int(np.round(sps * 2 / 3))
+    return lo, hi
+
+
+def _century(samples, pos, offset, volume_ring, sps: int, mode: str,
+             invert: bool):
+    """Demodulate one century for one channel.
+
+    samples: [L] float32 (whole block; we slice dynamically).
+    Returns (symbols [100] uint8, new_pos, new_offset, new_volume_ring).
+    """
+    lo, hi = _eval_bounds(sps)
+    span = CENTURY * sps + 1
+    window = jax.lax.dynamic_slice(samples, (pos,), (span,))
+
+    # Symbol sample matrix [100, sps]: symbol i>=1 shifted by the pending
+    # slew (consumed by the first advance of this century).
+    sym_idx = jnp.arange(CENTURY, dtype=jnp.int32)[:, None]
+    tap_idx = jnp.arange(sps, dtype=jnp.int32)[None, :]
+    shift = jnp.where(sym_idx >= 1, offset, 0)
+    sym = window[sym_idx * sps + tap_idx + shift]  # [100, sps]
+
+    volume_avg = jnp.mean(sym, axis=1)                      # [100]
+    mid_avg = jnp.sum(sym[:, lo:hi], axis=1) / (hi - lo)    # [100]
+
+    # AGC: after writing symbol i's volume, the ring holds volumes
+    # i-99 .. i; min/max over it defines the slicer thresholds (cpp:102-111).
+    concat = jnp.concatenate([volume_ring, volume_avg])     # [200]
+    win_idx = (jnp.arange(CENTURY)[:, None] + 1
+               + jnp.arange(VOLUME_RB_SIZE)[None, :])       # [100, 100]
+    windows = concat[win_idx]
+    vmax = jnp.maximum(jnp.max(windows, axis=1), FLT_MIN)
+    vmin_level = jnp.min(windows, axis=1)
+    center = (vmax + vmin_level) / 2
+
+    if mode == "gfsk":
+        umid = (vmax - center) * 0.625 + center
+        lmid = (vmin_level - center) * 0.625 + center
+        # >umid: 1, >center: 0, <lmid: 3, else: 2 (gfsk cpp:93-105)
+        symbols = jnp.where(
+            mid_avg > center,
+            jnp.where(mid_avg > umid, 1, 0),
+            jnp.where(mid_avg < lmid, 3, 2),
+        ).astype(jnp.uint8)
+    else:
+        one = 0 if invert else 1
+        symbols = jnp.where(mid_avg > center, one, 1 - one).astype(jnp.uint8)
+
+    # Timing: column-wise variance of the century's sample matrix
+    # (fsk cpp:41-79). First minimum wins (strict <).
+    col_mean = jnp.sum(sym, axis=0) / VARIANCE_SYMBOLS
+    variance = jnp.sum((col_mean[None, :] - sym) ** 2, axis=0) / VARIANCE_SYMBOLS
+    vmin = jnp.min(variance)
+    vmin_pos = jnp.argmin(variance)
+    guard_ok = (vmin > 0) & (vmin <= VMIN_GUARD)
+    step_left = (vmin_pos > 0) & (vmin_pos < sps // 2)
+    step_right = (vmin_pos >= sps // 2) & (vmin_pos < sps - 1)
+    new_offset = jnp.where(
+        guard_ok,
+        jnp.where(step_left, 1, jnp.where(step_right, -1, 0)),
+        0,
+    ).astype(jnp.int32)
+
+    new_pos = pos + CENTURY * sps + offset
+    return symbols, new_pos, new_offset, volume_avg
+
+
+def _demod_block_single(samples, pos, offset, volume_ring,
+                        n_centuries: int, sps: int, mode: str, invert: bool):
+    """[L] samples, scalar state -> ([n_centuries*100] symbols, state)."""
+
+    def step(carry, _):
+        pos, offset, ring = carry
+        symbols, pos, offset, ring = _century(
+            samples, pos, offset, ring, sps, mode, invert
+        )
+        return (pos, offset, ring), symbols
+
+    (pos, offset, ring), symbols = jax.lax.scan(
+        step, (pos, offset, volume_ring), None, length=n_centuries
+    )
+    return symbols.reshape(-1), pos, offset, ring
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def gfsk_demod_block(samples: jnp.ndarray, state: DemodState,
+                     n_centuries: int, sps: int = 10,
+                     _unused: bool = False):
+    """4FSK demodulate a block.
+
+    samples: [C, L] float32 with L >= max(state.pos) + n_centuries*(100*sps
+    + 1) + 1 slack per century of potential slew.
+    Returns (dibits [C, n_centuries*100] uint8, new DemodState). The new
+    state's ``pos`` stays relative to this block's origin; the stream driver
+    rebases it when it discards consumed samples.
+    """
+    f = functools.partial(_demod_block_single, n_centuries=n_centuries,
+                          sps=sps, mode="gfsk", invert=False)
+    symbols, pos, offset, ring = jax.vmap(f)(
+        samples, state.pos, state.offset, state.volume_ring
+    )
+    return symbols, DemodState(pos, offset, ring)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fsk_demod_block(samples: jnp.ndarray, state: DemodState,
+                    n_centuries: int, sps: int = 40, invert: bool = False):
+    """2FSK demodulate a block: bits 0/1 per symbol. See gfsk_demod_block."""
+    f = functools.partial(_demod_block_single, n_centuries=n_centuries,
+                          sps=sps, mode="fsk", invert=invert)
+    symbols, pos, offset, ring = jax.vmap(f)(
+        samples, state.pos, state.offset, state.volume_ring
+    )
+    return symbols, DemodState(pos, offset, ring)
+
+
+class _DemodNp:
+    """Host oracle: symbol-at-a-time loop faithful to the reference
+    (fsk_demodulator.cpp:25-111), for tests and the control plane.
+
+    precision='f64' mirrors the C double math in the variance loop;
+    'f32' mirrors the device kernel.
+    """
+
+    def __init__(self, sps: int, invert: bool = False, precision: str = "f64"):
+        self.sps = sps
+        self.invert = invert
+        self.lo, self.hi = _eval_bounds(sps)
+        self.var_dtype = np.float64 if precision == "f64" else np.float32
+        self.variance_rb = np.zeros(VARIANCE_SYMBOLS * sps, np.float32)
+        self.variance_rb_pos = 0
+        self.variance_offset = 0
+        self.volume_rb = np.zeros(VOLUME_RB_SIZE, np.float32)
+        self.volume_rb_pos = 0
+        self.pos = 0  # absolute read index into the caller's stream
+
+    def _calibrate(self):
+        vmin = np.float32(self.volume_rb.min())
+        vmax = np.float32(max(self.volume_rb.max(), FLT_MIN))
+        center = (vmax + vmin) / 2
+        return vmin, vmax, center
+
+    def _slice(self, average, vmin, vmax, center):
+        raise NotImplementedError
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Consume as many symbols as available; returns symbol array."""
+        samples = np.asarray(samples, dtype=np.float32)
+        out = []
+        while self.pos + self.sps + 1 < len(samples):
+            window = samples[self.pos:self.pos + self.sps]
+            self.variance_rb[
+                self.variance_rb_pos:self.variance_rb_pos + self.sps
+            ] = window
+            self.pos += self.sps + self.variance_offset
+            self.variance_offset = 0
+
+            self.variance_rb_pos += self.sps
+            if self.variance_rb_pos >= len(self.variance_rb):
+                rb = self.variance_rb.reshape(VARIANCE_SYMBOLS, self.sps)
+                totals = rb.sum(axis=0, dtype=np.float32)
+                means = totals.astype(self.var_dtype) / VARIANCE_SYMBOLS
+                var = (
+                    ((means[None, :] - rb.astype(self.var_dtype)) ** 2).sum(0)
+                    / VARIANCE_SYMBOLS
+                )
+                vmin_pos = int(np.argmin(var))  # first min wins
+                vmin = var[vmin_pos]
+                if vmin <= 0 or vmin > VMIN_GUARD:
+                    pass
+                elif 0 < vmin_pos < self.sps // 2:
+                    self.variance_offset = +1
+                elif self.sps // 2 <= vmin_pos < self.sps - 1:
+                    self.variance_offset = -1
+                self.variance_rb_pos = 0
+
+            self.volume_rb[self.volume_rb_pos] = window.mean(dtype=np.float32)
+            self.volume_rb_pos = (self.volume_rb_pos + 1) % VOLUME_RB_SIZE
+
+            vmin, vmax, center = self._calibrate()
+            average = np.float32(
+                window[self.lo:self.hi].sum(dtype=np.float32)
+                / (self.hi - self.lo)
+            )
+            out.append(self._slice(average, vmin, vmax, center))
+        return np.asarray(out, dtype=np.uint8)
+
+
+class FskDemodNp(_DemodNp):
+    def _slice(self, average, vmin, vmax, center):
+        if average > center:
+            return 0 if self.invert else 1
+        return 1 if self.invert else 0
+
+
+class GfskDemodNp(_DemodNp):
+    def _slice(self, average, vmin, vmax, center):
+        umid = (vmax - center) * np.float32(0.625) + center
+        lmid = (vmin - center) * np.float32(0.625) + center
+        if average > center:
+            return 1 if average > umid else 0
+        return 3 if average < lmid else 2

@@ -1,0 +1,3 @@
+from .decoder import make_decoder
+from .meta import MetaCollector
+from .phases import SyncPhase, FramedPhase

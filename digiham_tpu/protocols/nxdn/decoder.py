@@ -1,0 +1,10 @@
+"""NXDN decoder assembly (src/nxdn_decoder/nxdn_decoder.cpp:7)."""
+from __future__ import annotations
+
+from ...runtime.decoder import Decoder
+from .meta import MetaCollector
+from .phases import SyncPhase
+
+
+def make_decoder() -> Decoder:
+    return Decoder(SyncPhase(), MetaCollector())

@@ -1,0 +1,10 @@
+"""YSF decoder assembly (src/ysf_decoder/ysf_decoder.cpp:7)."""
+from __future__ import annotations
+
+from ...runtime.decoder import Decoder
+from .meta import MetaCollector
+from .phases import SyncPhase
+
+
+def make_decoder() -> Decoder:
+    return Decoder(SyncPhase(), MetaCollector())

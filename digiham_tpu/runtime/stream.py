@@ -1,0 +1,108 @@
+"""Host-side stream driving: sample buffering and block dispatch.
+
+The reference's runtime is a per-process ring buffer + fread loop
+(src/lib/cli.cpp:19-38,102-106). The TPU-native equivalent inverts control:
+a host ``StreamDriver`` accumulates incoming samples per channel in a
+``SampleBuffer``, and whenever every channel has enough lookahead it
+dispatches one fixed-shape ``[channels, block]`` device call, then rebases
+the per-channel read positions (the demodulator may consume ±1 sample per
+100 symbols, so consumed lengths differ across channels).
+
+The device sees only static shapes; all variable-rate bookkeeping lives
+here, in O(channels) numpy ops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class SampleBuffer:
+    """Grow-on-write, shift-on-consume [channels, cap] sample store.
+
+    Keeps per-channel write fill and a shared base origin. ``positions``
+    (device-owned read cursors) are relative to the base; when the minimum
+    position grows past ``trim_quantum`` the buffer shifts left and reports
+    the rebase amount.
+    """
+
+    def __init__(self, channels: int, dtype=np.float32,
+                 initial_cap: int = 1 << 16):
+        self.channels = channels
+        self.dtype = dtype
+        self.data = np.zeros((channels, initial_cap), dtype)
+        self.fill = 0  # same fill for all channels (lockstep ingest)
+
+    def push(self, samples: np.ndarray) -> None:
+        """samples: [channels, n] appended at the write position."""
+        samples = np.asarray(samples, self.dtype)
+        if samples.ndim == 1:
+            samples = np.broadcast_to(samples, (self.channels, len(samples)))
+        n = samples.shape[1]
+        if self.fill + n > self.data.shape[1]:
+            new_cap = max(self.data.shape[1] * 2, self.fill + n)
+            grown = np.zeros((self.channels, new_cap), self.dtype)
+            grown[:, :self.fill] = self.data[:, :self.fill]
+            self.data = grown
+        self.data[:, self.fill:self.fill + n] = samples
+        self.fill += n
+
+    def view(self, length: int) -> np.ndarray:
+        """First ``length`` buffered samples (zero-padded if short)."""
+        if length <= self.data.shape[1]:
+            return self.data[:, :length]
+        out = np.zeros((self.channels, length), self.dtype)
+        out[:, :self.fill] = self.data[:, :self.fill]
+        return out
+
+    def consume(self, n: int) -> None:
+        """Discard the first n samples (rebase origin by n)."""
+        if n <= 0:
+            return
+        self.data[:, :self.fill - n] = self.data[:, n:self.fill]
+        self.fill -= n
+
+
+class StreamDriver:
+    """Drives a century-blocked demodulator over a SampleBuffer.
+
+    demod_fn(block [C, L], state, n_centuries) -> (symbols, state) where
+    state carries per-channel ``pos`` relative to the block origin.
+    """
+
+    def __init__(self, channels: int, sps: int, demod_fn, state,
+                 n_centuries: int = 1):
+        self.channels = channels
+        self.sps = sps
+        self.demod_fn = demod_fn
+        self.state = state
+        self.n_centuries = n_centuries
+        self.buffer = SampleBuffer(channels)
+
+    @property
+    def _need(self) -> int:
+        # worst case: max(pos) + centuries*(100*sps + 1 slack) + lookahead
+        return self.n_centuries * (100 * self.sps + 1) + 1
+
+    def push(self, samples: np.ndarray) -> list[np.ndarray]:
+        """Feed samples; returns list of [C, n_centuries*100] symbol blocks
+        produced (possibly several if a large chunk arrived)."""
+        self.buffer.push(samples)
+        out = []
+        while True:
+            pos = np.asarray(self.state.pos)
+            need = int(pos.max()) + self._need
+            if self.buffer.fill < need:
+                break
+            block = self.buffer.view(need)
+            symbols, self.state = self.demod_fn(
+                block, self.state, self.n_centuries)
+            out.append(np.asarray(symbols))
+            # rebase: drop samples every channel has consumed
+            new_pos = np.asarray(self.state.pos)
+            base = int(new_pos.min())
+            if base > 0:
+                self.buffer.consume(base)
+                self.state = type(self.state)(
+                    self.state.pos - base, self.state.offset,
+                    self.state.volume_ring)
+        return out
