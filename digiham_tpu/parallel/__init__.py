@@ -1,0 +1,5 @@
+from .sharded import (
+    make_mesh,
+    sharded_rrc_filter,
+    sharded_pipeline_step,
+)

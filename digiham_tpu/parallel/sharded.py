@@ -1,0 +1,138 @@
+"""Multi-chip sharding: the scale-out story (SURVEY.md §2.9 equivalents).
+
+The reference scales by running one Unix process per channel
+(examples/*.sh); the TPU-native replacement is a device mesh with axes
+
+    (channel, time)
+
+- **channel** is the data-parallel axis: a bank of independent RF channels
+  shards embarrassingly; all per-channel state (RRC history, demod timing,
+  frame machines) is local to its shard.
+- **time** is the sequence-parallel axis for bulk/recorded workloads: one
+  long capture splits along the sample axis. Convolutional stages need the
+  trailing ``taps-1`` samples of the previous shard — an **overlap-save
+  halo exchange** implemented with ``jax.lax.ppermute`` over ICI
+  (SURVEY.md §5 long-context mapping).
+
+Everything here is `shard_map` over an explicit Mesh, so XLA emits ICI
+collectives; on a CPU host it runs identically over the virtual-device
+mesh (tests/conftest.py forces 8 devices).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dsp.demod import demod_init, gfsk_demod_block
+from ..dsp.rrc import WIDE_RRC, RrcDesign, RrcState, rrc_filter_block
+from ..pipeline.dmr import dmr_decode_frames, dmr_sync_correlate
+from ..protocols.dmr.phases import FRAME_SIZE
+
+
+def make_mesh(n_channel_shards: int | None = None,
+              n_time_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build a (channel, time) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_channel_shards is None:
+        n_channel_shards = n // n_time_shards
+    assert n_channel_shards * n_time_shards <= n
+    dev_array = np.asarray(
+        devices[:n_channel_shards * n_time_shards]
+    ).reshape(n_channel_shards, n_time_shards)
+    return Mesh(dev_array, axis_names=("channel", "time"))
+
+
+def _halo_from_left(x: jnp.ndarray, halo: int, axis_name: str):
+    """Pass each shard's trailing ``halo`` samples to its right neighbor;
+    shard 0 receives zeros (stream start). x: [C_local, T_local]."""
+    n = jax.lax.axis_size(axis_name)
+    tail = x[:, -halo:]
+    perm = [(i, i + 1) for i in range(n - 1)]
+    left_tail = jax.lax.ppermute(tail, axis_name, perm)
+    idx = jax.lax.axis_index(axis_name)
+    left_tail = jnp.where(idx == 0, jnp.zeros_like(left_tail), left_tail)
+    return left_tail
+
+
+def sharded_rrc_filter(mesh: Mesh, samples: jnp.ndarray,
+                       design: RrcDesign = WIDE_RRC) -> jnp.ndarray:
+    """Overlap-save RRC over a (channel, time)-sharded sample block.
+
+    samples: [C, T] float32 (C divisible by channel shards, T by time
+    shards). Output matches the single-device streaming filter run from
+    zeroed state — the halo exchange provides exactly the ``taps-1``
+    cross-shard history (block-size invariance is tested).
+    """
+    halo = design.ntaps - 1
+
+    def local(x):
+        left = _halo_from_left(x, halo, "time")
+        xfull = jnp.concatenate([left, x], axis=-1)
+        y, _ = rrc_filter_block(
+            xfull[:, halo:], RrcState(xfull[:, :halo]), design)
+        return y
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("channel", "time"),
+        out_specs=P("channel", "time"),
+    )
+    return f(samples)
+
+
+def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray,
+                          sps: int = 10, n_centuries: int = 2):
+    """One full multi-chip DMR pipeline step, jit-compiled over the mesh.
+
+    Axes in play:
+    - channel-DP: every stage shards over the channel axis
+    - time-SP: the RRC FIR runs overlap-save with a ppermute halo; the
+      demod + frame decode run per time shard (bulk/recorded mode), and a
+      psum over the time axis aggregates per-channel sync statistics —
+      the collective pattern the production topology uses.
+
+    samples: [C, T]; per time shard T_local must cover n_centuries
+    centuries + lookahead: T_local >= n_centuries*(100*sps+1)+1.
+    Returns (voice_payload [C, T?/144-ish, 27], sync_hits [C]) with
+    leading axes sharded like the inputs.
+    """
+    design = WIDE_RRC
+    halo = design.ntaps - 1
+
+    def local(x):
+        # ---- overlap-save RRC with ICI halo exchange ----
+        left = _halo_from_left(x, halo, "time")
+        y, _ = rrc_filter_block(
+            jnp.concatenate([left, x], axis=-1)[:, halo:],
+            RrcState(left), design)
+        # ---- per-shard demod + batched frame decode ----
+        c_local = y.shape[0]
+        # fresh per-shard state is replicated from shard_map's viewpoint;
+        # mark it device-varying so the scan carry types line up
+        state0 = jax.tree.map(
+            lambda a: jax.lax.pvary(a, ("channel", "time")),
+            demod_init(c_local))
+        dibits, _ = gfsk_demod_block(y, state0, n_centuries, sps)
+        sync_dist = dmr_sync_correlate(dibits)
+        n_frames = dibits.shape[1] // FRAME_SIZE
+        frames = dibits[:, :n_frames * FRAME_SIZE].reshape(
+            c_local, n_frames, FRAME_SIZE)
+        fields = dmr_decode_frames(frames)
+        # ---- cross-shard reduction over the time axis (psum on ICI) ----
+        hits = jnp.sum((sync_dist <= 3).any(-1), axis=-1)
+        total_hits = jax.lax.psum(hits, "time")
+        return fields["voice_payload"], total_hits
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("channel", "time"),
+        out_specs=(P("channel", "time", None), P("channel")),
+    )
+    return jax.jit(f)(samples)

@@ -11,3 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's TPU plugin ("axon") can override JAX_PLATFORMS during
+# plugin discovery; pin the platform explicitly as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
