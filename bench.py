@@ -44,12 +44,14 @@ def main():
     jax.block_until_ready(out)
 
     # steady state: rebase demod positions each iter so the dynamic
-    # slices stay in range (state.pos grows by ~samples consumed)
+    # slices stay in range (state.pos grows by ~samples consumed).
+    # block_until_ready every iteration: no async pipelining flatters the
+    # number — each step's full latency is on the clock.
     t0 = time.perf_counter()
     for _ in range(iters):
         state.demod.pos = jnp.zeros_like(state.demod.pos)
         out, state = pipe.step(block, state)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     total_samples = channels * samples_per_step * iters

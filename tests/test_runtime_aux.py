@@ -1,0 +1,90 @@
+"""Auxiliary runtime subsystems: metrics, checkpoint/resume, syndrome tool."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from digiham_tpu.runtime.metrics import MetricsRegistry, StageMeter
+from digiham_tpu.runtime.checkpoint import (
+    load_decoder,
+    load_state,
+    save_decoder,
+    save_state,
+)
+
+
+class TestMetrics:
+    def test_meter_rates(self):
+        m = StageMeter("demod", "samples")
+        with m.measure(48000):
+            pass
+        assert m.items == 48000 and m.calls == 1
+        snap = m.snapshot()
+        assert snap["stage"] == "demod" and snap["rate_per_s"] > 0
+
+    def test_registry_report(self):
+        lines = []
+        reg = MetricsRegistry(sink=lines.append)
+        with reg.meter("rrc").measure(1000):
+            pass
+        reg.report()
+        assert any("rrc" in line for line in lines)
+
+
+class TestCheckpoint:
+    def test_demod_state_roundtrip(self):
+        from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+        state = demod_init(2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 100, (2, 1020)).astype(np.float32))
+        _, state = gfsk_demod_block(x, state, 1, 10)
+        blob = save_state(state)
+        restored = load_state(blob)
+        np.testing.assert_array_equal(np.asarray(state.pos),
+                                      restored.pos)
+        np.testing.assert_array_equal(np.asarray(state.volume_ring),
+                                      restored.volume_ring)
+
+    def test_resume_is_bit_exact(self):
+        """Decode continues identically after a snapshot/restore."""
+        from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+        rng = np.random.default_rng(1)
+        levels = np.array([1.0, 3.0, -1.0, -3.0]) * 300
+        tx = rng.integers(0, 4, 450)
+        sig = np.repeat(levels[tx], 10).astype(np.float32)[None, :]
+        state = demod_init(1)
+        a, state = gfsk_demod_block(jnp.asarray(sig[:, :4200]), state, 2, 10)
+        blob = save_state(state)
+        b1, _ = gfsk_demod_block(jnp.asarray(sig[:, :4400]),
+                                 state, 2, 10)
+        b2, _ = gfsk_demod_block(jnp.asarray(sig[:, :4400]),
+                                 load_state(blob), 2, 10)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    def test_decoder_snapshot(self):
+        from digiham_tpu.protocols.dmr import make_decoder
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from dmr_synth import voice_frame
+        payload = np.tile([1, 3, 0, 2], 27)
+        frames = [voice_frame(s % 2, payload, sync=True) for s in range(6)]
+        stream = np.concatenate(frames)
+        dec = make_decoder()
+        out1 = dec.process(stream[:500])
+        blob = save_decoder(dec)
+        rest = load_decoder(blob)
+        a = dec.process(stream[500:])
+        b = rest.process(stream[500:])
+        assert a == b
+
+
+class TestSyndromeTool:
+    def test_all_codes_self_check(self):
+        from digiham_tpu.fec.syndrome_tool import main
+        assert main([]) == 0
+
+    def test_dump_one(self, capsys):
+        from digiham_tpu.fec.syndrome_tool import main
+        assert main(["--dump", "hamming_7_4"]) == 0
+        out = capsys.readouterr().out
+        assert out.count("{") >= 7  # at least the single-bit patterns
