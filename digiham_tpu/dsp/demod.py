@@ -86,12 +86,35 @@ def _eval_bounds(sps: int) -> tuple[int, int]:
     return lo, hi
 
 
+def _sliding_minmax_100(concat: jnp.ndarray):
+    """Sliding min/max over all 100 length-100 windows of a [200] array,
+    gather-free: the two-block prefix/suffix cumulative trick. Window i
+    spans concat[i+1 : i+101]."""
+    blk0, blk1 = concat[:100], concat[100:]
+    # suffix extrema of block 0 (suf[i] = extremum of blk0[i:])
+    suf_max = jax.lax.cummax(blk0[::-1])[::-1]
+    suf_min = jax.lax.cummin(blk0[::-1])[::-1]
+    pre_max = jax.lax.cummax(blk1)
+    pre_min = jax.lax.cummin(blk1)
+    # window i = blk0[i+1:] + blk1[:i+1]; for i=99 only blk1
+    left_max = jnp.concatenate([suf_max[1:], suf_max[-1:]])
+    left_min = jnp.concatenate([suf_min[1:], suf_min[-1:]])
+    use_left = jnp.arange(100) < 99
+    wmax = jnp.where(use_left, jnp.maximum(left_max, pre_max), pre_max)
+    wmin = jnp.where(use_left, jnp.minimum(left_min, pre_min), pre_min)
+    return wmin, wmax
+
+
 def _century(samples, pos, offset, volume_ring, sps: int, mode: str,
              invert: bool):
     """Demodulate one century for one channel.
 
     samples: [L] float32 (whole block; we slice dynamically).
     Returns (symbols [100] uint8, new_pos, new_offset, new_volume_ring).
+
+    Gather-free inner loop: the +-1 timing shift selects between three
+    statically-sliced views, and the AGC sliding window uses cumulative
+    extrema — TPU-friendly vector ops instead of scalar-core gathers.
     """
     lo, hi = _eval_bounds(sps)
     span = CENTURY * sps + 1
@@ -99,10 +122,16 @@ def _century(samples, pos, offset, volume_ring, sps: int, mode: str,
 
     # Symbol sample matrix [100, sps]: symbol i>=1 shifted by the pending
     # slew (consumed by the first advance of this century).
-    sym_idx = jnp.arange(CENTURY, dtype=jnp.int32)[:, None]
-    tap_idx = jnp.arange(sps, dtype=jnp.int32)[None, :]
-    shift = jnp.where(sym_idx >= 1, offset, 0)
-    sym = window[sym_idx * sps + tap_idx + shift]  # [100, sps]
+    wp = jnp.concatenate([jnp.zeros((1,), window.dtype), window])  # pad
+    view = {
+        s: jax.lax.slice(wp, (1 + s,), (1 + s + CENTURY * sps,))
+             .reshape(CENTURY, sps)
+        for s in (-1, 0, 1)
+    }
+    shifted = jnp.where(offset == 1, view[1],
+                        jnp.where(offset == -1, view[-1], view[0]))
+    row0 = jnp.arange(CENTURY)[:, None] == 0
+    sym = jnp.where(row0, view[0], shifted)  # [100, sps]
 
     volume_avg = jnp.mean(sym, axis=1)                      # [100]
     mid_avg = jnp.sum(sym[:, lo:hi], axis=1) / (hi - lo)    # [100]
@@ -110,11 +139,8 @@ def _century(samples, pos, offset, volume_ring, sps: int, mode: str,
     # AGC: after writing symbol i's volume, the ring holds volumes
     # i-99 .. i; min/max over it defines the slicer thresholds (cpp:102-111).
     concat = jnp.concatenate([volume_ring, volume_avg])     # [200]
-    win_idx = (jnp.arange(CENTURY)[:, None] + 1
-               + jnp.arange(VOLUME_RB_SIZE)[None, :])       # [100, 100]
-    windows = concat[win_idx]
-    vmax = jnp.maximum(jnp.max(windows, axis=1), FLT_MIN)
-    vmin_level = jnp.min(windows, axis=1)
+    vmin_level, wmax = _sliding_minmax_100(concat)
+    vmax = jnp.maximum(wmax, FLT_MIN)
     center = (vmax + vmin_level) / 2
 
     if mode == "gfsk":

@@ -52,15 +52,22 @@ def dmr_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
     """Dense sync correlation: [C, T] dibits -> [C, T-23, 4] distances.
 
     Replaces the reference's symbol-at-a-time scan (dmr_phase.cpp:39-47)
-    with one batched correlation over every offset and all 4 patterns.
+    with one batched correlation over every offset and all 4 patterns —
+    as 24 shifted XOR-popcount accumulations per pattern (static slices,
+    no gather: gathers hit the TPU scalar core).
     """
     d = dibits.astype(jnp.int32)
     T = d.shape[-1]
-    idx = jnp.arange(T - SYNC_SIZE + 1)[:, None] + jnp.arange(SYNC_SIZE)
-    windows = d[..., idx]  # [C, T-23, 24]
-    pats = jnp.asarray(_SYNC_PATTERNS, jnp.int32)  # [4, 24]
-    x = windows[..., None, :] ^ pats  # [C, T-23, 4, 24]
-    return jax.lax.population_count(x).sum(axis=-1)
+    n_off = T - SYNC_SIZE + 1
+    out = []
+    for pat in _SYNC_PATTERNS:
+        acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
+        for k in range(SYNC_SIZE):
+            acc = acc + jax.lax.population_count(
+                jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
+                ^ int(pat[k]))
+        out.append(acc)
+    return jnp.stack(out, axis=-1)
 
 
 def _pack_dibits_27(dibits108: jnp.ndarray) -> jnp.ndarray:
