@@ -27,6 +27,16 @@ import numpy as np
 
 def main():
     import jax
+
+    # persist compiled executables across runs: the pipeline-chain program
+    # takes minutes to compile over the session's TPU tunnel
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from digiham_tpu.dsp.demod import DemodState
     from digiham_tpu.pipeline import DmrPipeline
@@ -35,8 +45,8 @@ def main():
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     sps = 10
     n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
-    chain_len = int(os.environ.get("BENCH_CHAIN", "20"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    chain_len = int(os.environ.get("BENCH_CHAIN", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=n_cent)
     state = pipe.init_state()

@@ -1,0 +1,83 @@
+"""Batched device-side NXDN pipeline stages.
+
+Dense sync correlation plus batched SACCH/FACCH1 decoding (descramble ->
+de-interleave -> de-puncture -> blocked-start Viterbi -> CRC) over
+``[channels, frames, ...]`` arrays (reference per-unit logic:
+src/nxdn_decoder/sacch.cpp, facch1.cpp, scrambler.cpp).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fec import interleave
+from ..fec.crc import crc6_nxdn, crc12_nxdn
+from ..fec.lfsr import nxdn_scrambler
+from ..fec.viterbi import viterbi_decode
+from ..protocols.nxdn.phases import FRAME_SIZE, FRAME_SYNC, SYNC_SIZE
+
+
+@jax.jit
+def nxdn_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
+    """[C, T] dibits -> [C, T-9] distances to the NXDN frame sync."""
+    d = dibits.astype(jnp.int32)
+    T = d.shape[-1]
+    n_off = T - SYNC_SIZE + 1
+    acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
+    for k in range(SYNC_SIZE):
+        acc = acc + jax.lax.population_count(
+            jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
+            ^ int(FRAME_SYNC[k]))
+    return acc
+
+
+def _descramble(d: jnp.ndarray, offset: int) -> jnp.ndarray:
+    ks = nxdn_scrambler()[offset:offset + d.shape[-1]].astype(np.int32)
+    return d ^ (jnp.asarray(ks) << 1)
+
+
+def _bits_from_dibits(d: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.stack([(d >> 1) & 1, d & 1], axis=-1)
+    return out.reshape(d.shape[:-1] + (d.shape[-1] * 2,))
+
+
+def _depunctured_viterbi(bits: jnp.ndarray, table) -> jnp.ndarray:
+    idx, mask = table
+    inflated = jnp.where(jnp.asarray(mask),
+                         bits[..., jnp.asarray(idx)], 0)
+    dib = (inflated[..., 0::2] << 1) | inflated[..., 1::2]
+    decoded, _ = viterbi_decode(dib, num_states=16, blocked_steps=4)
+    return decoded
+
+
+@jax.jit
+def decode_sacch_batch(sacch_dibits: jnp.ndarray):
+    """[..., 30] descrambled-domain raw SACCH dibits (pre-descramble, in-
+    frame offset 8) -> (structure_index, payload_bits [..., 18], ok)."""
+    d = _descramble(sacch_dibits.astype(jnp.int32), 8)
+    bits60 = _bits_from_dibits(d)
+    dei = bits60[..., jnp.asarray(interleave.nxdn_sacch())]
+    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_sacch())
+    crc = crc6_nxdn(26).compute(decoded[..., :26])
+    w6 = jnp.asarray([1 << (5 - i) for i in range(6)], jnp.int32)
+    received = jnp.sum(decoded[..., 26:32] * w6, axis=-1)
+    ok = crc == received
+    structure = ((decoded[..., 0] << 1) | decoded[..., 1]) ^ 0b11
+    return structure, decoded[..., 8:26], ok
+
+
+@jax.jit
+def decode_facch1_batch(slot_dibits: jnp.ndarray, offset: int = 38):
+    """[..., 72] raw slot dibits -> (message_type, ok)."""
+    d = _descramble(slot_dibits.astype(jnp.int32), offset)
+    bits144 = _bits_from_dibits(d)
+    dei = bits144[..., jnp.asarray(interleave.nxdn_facch1())]
+    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_facch1())
+    crc = crc12_nxdn(80).compute(decoded[..., :80])
+    w12 = jnp.asarray([1 << (11 - i) for i in range(12)], jnp.int32)
+    received = jnp.sum(decoded[..., 80:92] * w12, axis=-1)
+    ok = crc == received
+    w6 = jnp.asarray([1 << (5 - i) for i in range(6)], jnp.int32)
+    mtype = jnp.sum(decoded[..., 2:8] * w6, axis=-1)
+    return mtype, ok

@@ -1,0 +1,121 @@
+"""Batched device-side YSF pipeline stages.
+
+Steady-state tracking path for YSF channel banks: dense sync correlation,
+batched FICH decode (de-interleave -> Viterbi -> 4x Golay(24,12) -> CRC)
+and batched V/D2 voice extraction (de-interleave -> dewhiten -> tribit
+majority -> AMBE bit mapping) over ``[channels, frames, ...]`` arrays.
+Host phase machines consume the resulting field tensors.
+
+Reference behavior per stage: src/ysf_decoder/fich.cpp,
+ysf_phase.cpp:180-219 (voice), 100-108 + 258-267 (DCH).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fec import interleave
+from ..fec.codes import GOLAY_24_12
+from ..fec.crc import crc16_ysf
+from ..fec.lfsr import ysf_whitening
+from ..fec.linear import decode as fec_decode
+from ..fec.viterbi import viterbi_decode
+from ..protocols.ysf.phases import (
+    FICH_SIZE,
+    FRAME_SIZE,
+    SYNC_SIZE,
+    TRIBIT_MAJORITY,
+    V2_VOICE_MAPPING,
+    YSF_SYNC,
+)
+
+
+@jax.jit
+def ysf_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
+    """[C, T] dibits -> [C, T-19] distances to the YSF sync word."""
+    d = dibits.astype(jnp.int32)
+    T = d.shape[-1]
+    n_off = T - SYNC_SIZE + 1
+    acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
+    for k in range(SYNC_SIZE):
+        acc = acc + jax.lax.population_count(
+            jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
+            ^ int(YSF_SYNC[k]))
+    return acc
+
+
+def _bits_from_dibits(d: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.stack([(d >> 1) & 1, d & 1], axis=-1)
+    return out.reshape(d.shape[:-1] + (d.shape[-1] * 2,))
+
+
+@jax.jit
+def decode_fich_batch(fich_dibits: jnp.ndarray):
+    """[..., 100] FICH dibits -> (fich_word [...] uint32, ok [...] bool).
+
+    Batched over any leading shape (channels x frames).
+    """
+    d = fich_dibits.astype(jnp.int32)
+    x = d[..., jnp.asarray(interleave.ysf_fich())]
+    bits, _metric = viterbi_decode(x)  # [..., 100]
+    # pack 96 bits -> 4x24-bit golay words
+    b96 = bits[..., :96].reshape(bits.shape[:-1] + (4, 24))
+    w24 = jnp.asarray([1 << (23 - i) for i in range(24)], jnp.int32)
+    words = jnp.sum(b96 * w24, axis=-1)  # [..., 4]
+    corrected, ok4 = fec_decode(GOLAY_24_12, words)
+    ok = jnp.all(ok4, axis=-1)
+    g = corrected
+    fich_data = (
+        ((g[..., 0] & 0x00FFF000) << 8)
+        | ((g[..., 1] & 0x00FFF000) >> 4)
+        | ((g[..., 2] & 0x00FF0000) >> 16)
+    )
+    checksum = (g[..., 2] & 0x0000F000) | ((g[..., 3] & 0x00FFF000) >> 12)
+    # CRC over the big-endian byte order of fich_data
+    be_bits = jnp.stack(
+        [(fich_data >> (31 - i)) & 1 for i in range(32)], axis=-1)
+    crc = crc16_ysf(32).compute(be_bits)
+    ok = ok & (crc == checksum)
+    return fich_data.astype(jnp.uint32), ok
+
+
+@jax.jit
+def decode_vd2_voice_batch(voice_dibits: jnp.ndarray) -> jnp.ndarray:
+    """[..., 52] V/D2 voice dibits -> [..., 7] packed AMBE bytes."""
+    bits104 = _bits_from_dibits(voice_dibits.astype(jnp.int32))
+    dei = bits104[..., jnp.asarray(interleave.ysf_v2_voice())]
+    tri = dei ^ jnp.asarray(ysf_whitening()[:104].astype(np.int32))
+    groups = tri[..., :81].reshape(tri.shape[:-1] + (27, 3))
+    idx = (groups[..., 0] << 2) | (groups[..., 1] << 1) | groups[..., 2]
+    voice27 = jnp.asarray(TRIBIT_MAJORITY.astype(np.int32))[idx]
+    voice49 = jnp.concatenate([voice27, tri[..., 81:103]], axis=-1)
+    # scatter voice bit i to output bit V2_VOICE_MAPPING[i]
+    result = jnp.zeros(voice49.shape[:-1] + (56,), jnp.int32)
+    result = result.at[..., jnp.asarray(V2_VOICE_MAPPING)].set(voice49)
+    w8 = jnp.asarray([1 << (7 - i) for i in range(8)], jnp.int32)
+    by = jnp.sum(result.reshape(result.shape[:-1] + (7, 8)) * w8, axis=-1)
+    return by.astype(jnp.uint8)
+
+
+@jax.jit
+def ysf_decode_frames(frames: jnp.ndarray):
+    """[..., 480] frame dibits -> field dict: sync distance, FICH word/ok,
+    V/D2 voice bytes for all 5 blocks."""
+    d = frames.astype(jnp.int32)
+    sync = d[..., :SYNC_SIZE]
+    sync_dist = jax.lax.population_count(
+        sync ^ jnp.asarray(YSF_SYNC, jnp.int32)).sum(-1)
+    fich_data, fich_ok = decode_fich_batch(
+        d[..., SYNC_SIZE:SYNC_SIZE + FICH_SIZE])
+    payload = d[..., SYNC_SIZE + FICH_SIZE:FRAME_SIZE]
+    blocks = jnp.stack(
+        [payload[..., 20 + i * 72:20 + i * 72 + 52] for i in range(5)],
+        axis=-2)  # [..., 5, 52]
+    voice = decode_vd2_voice_batch(blocks)
+    return {
+        "sync_dist": sync_dist,
+        "fich_data": fich_data,
+        "fich_ok": fich_ok,
+        "vd2_voice": voice,
+    }
