@@ -1,15 +1,17 @@
-"""Headline benchmark: IQ->frames DMR decode throughput on one chip.
+"""Headline benchmark: DMR decode throughput on one chip.
 
-Measures the full fused device pipeline (RRC FIR -> 4FSK demod -> dense
-sync correlation -> batched per-frame FEC decode) over a 256-channel bank
+Measures the fused device pipeline (RRC FIR -> 4FSK demod -> dense sync
+correlation -> batched per-frame FEC decode) over a 256-channel bank
 (BASELINE.json configs[4]) and reports Msamples/s/chip of FM-demodulated
 input consumed.
 
-Methodology: the steady-state loop runs as a ``lax.scan`` of pipeline
-steps *inside one jit program*, so a timed invocation is a single
-dispatch + device execution of ``chain_len`` steps — host/tunnel round
-trips cannot flatter or distort the number. Every step's outputs feed a
-live reduction so nothing dead-code-eliminates.
+Methodology notes (this session's TPU sits behind a tunnel):
+- inputs are generated ON DEVICE per rep (the tunnel's host<->device
+  bandwidth is ~MB/s and would otherwise dominate);
+- inputs and state differ every rep (the serving runtime caches results
+  of byte-identical calls);
+- each rep is block_until_ready'd; best-of-N absorbs tunnel RTT jitter;
+- a persistent compilation cache keeps reruns fast.
 
 Baseline: the reference is a real-time single-channel CPU pipeline at
 48 kS/s per channel (BASELINE.md) — it publishes no other numbers.
@@ -28,8 +30,6 @@ import numpy as np
 def main():
     import jax
 
-    # persist compiled executables across runs: the pipeline-chain program
-    # takes minutes to compile over the session's TPU tunnel
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -38,15 +38,12 @@ def main():
         pass
 
     import jax.numpy as jnp
-    from digiham_tpu.dsp.demod import DemodState
     from digiham_tpu.pipeline import DmrPipeline
-    from digiham_tpu.pipeline.dmr import DmrPipelineState
 
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     sps = 10
     n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
-    chain_len = int(os.environ.get("BENCH_CHAIN", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
 
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=n_cent)
     state = pipe.init_state()
@@ -54,59 +51,37 @@ def main():
     L = n_cent * (100 * sps + 1) + 8
 
     @jax.jit
-    def gen_blocks(seed):
-        # generate the input stream ON DEVICE: the session's host<->device
-        # link is a tunnel with ~MB/s bandwidth, so host-generated blocks
-        # would measure the tunnel, not the chip
+    def gen_block(seed):
         key = jax.random.key(seed)
-        return jax.random.normal(
-            key, (chain_len, channels, L), jnp.float32) * 100.0
+        return jax.random.normal(key, (channels, L), jnp.float32) * 100.0
 
-    @jax.jit
-    def run_chain(blocks, state):
-        # blocks: [chain_len, C, L] — every step streams a fresh block
-        # from HBM, like real ingest (a loop-invariant block would get
-        # hoisted into VMEM and overstate throughput ~5x)
-        def body(s, blk):
-            out, s2 = pipe.step(blk, s)
-            # keep every output tensor live via a reduction
-            stats = (out["voice_payload"].astype(jnp.int32).sum()
-                     + out["bptc_data"].sum()
-                     + out["sync_dist_dense"].sum()
-                     + out["sync_type"].sum()
-                     + out["dibits"].astype(jnp.int32).sum())
-            # rebase the demod read cursor so slices stay in range
-            s2 = DmrPipelineState(
-                s2.rrc,
-                DemodState(jnp.zeros_like(s2.demod.pos), s2.demod.offset,
-                           s2.demod.volume_ring))
-            return s2, stats
-        final_state, stats = jax.lax.scan(body, state, blocks)
-        return final_state, stats.sum()
+    def rebase(st):
+        st.demod.pos = jnp.zeros_like(st.demod.pos)
+        return st
 
     # compile + warmup
-    blocks = gen_blocks(0)
-    jax.block_until_ready(blocks)
-    st, checksum = run_chain(blocks, state)
-    jax.block_until_ready(checksum)
+    block = gen_block(0)
+    jax.block_until_ready(block)
+    out, state = pipe.step(block, state)
+    jax.block_until_ready(out)
 
-    # NOTE: the serving runtime caches results for byte-identical
-    # (executable, inputs) pairs; fresh random blocks + evolving state
-    # every rep so each timed run is real device execution.
     times = []
     checks = []
-    cur = st
     for rep in range(reps):
-        blocks = gen_blocks(rep + 1)
-        jax.block_until_ready(blocks)
+        block = gen_block(rep + 1)
+        jax.block_until_ready(block)
+        state = rebase(state)
         t0 = time.perf_counter()
-        cur, checksum = run_chain(blocks, cur)
-        jax.block_until_ready(checksum)
+        out, state = pipe.step(block, state)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-        checks.append(int(checksum))
-    dt = min(times)  # best-of: least tunnel interference
+        # self-audit: distinct checksums per rep prove fresh computation
+        checks.append(int(np.asarray(out["dibits"], dtype=np.int64).sum()))
+    dt = min(times)
+    assert len(set(checks)) > 1 or reps == 1, (
+        "identical outputs across reps — stale-result cache suspected")
 
-    total_samples = channels * samples_per_step * chain_len
+    total_samples = channels * samples_per_step
     msps = total_samples / dt / 1e6
     result = {
         "metric": "dmr_pipeline_throughput",
@@ -115,9 +90,9 @@ def main():
         "vs_baseline": round(msps / 0.048, 1),
         "channels": channels,
         "samples_per_step": samples_per_step,
-        "chain_len": chain_len,
-        "best_chain_seconds": round(dt, 4),
-        "all_chain_seconds": [round(t, 4) for t in times],
+        "best_step_seconds": round(dt, 5),
+        "all_step_seconds": [round(t, 5) for t in times],
+        "rep_checksums": checks,
         "backend": jax.devices()[0].platform,
     }
     print(json.dumps(result))

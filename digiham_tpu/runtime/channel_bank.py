@@ -1,0 +1,81 @@
+"""ChannelBank: the production many-channel orchestration.
+
+Glues the three layers end to end:
+
+  SampleBuffer (host, numpy/C++)  ->  device pipeline (one fused XLA
+  program over [channels, block])  ->  per-channel host phase machines
+  (protocol decoders with metadata writers)
+
+The device does all O(samples) math; the host consumes the demodulated
+symbol block per channel — O(symbols) work — through the same Decoder
+objects the single-channel CLI uses, so outputs and metadata are
+bit-identical to the reference path.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from .stream import SampleBuffer
+
+
+class ChannelBank:
+    """Drives a device pipeline and a bank of host decoders.
+
+    pipeline: object with ``init_state()`` and jittable
+        ``step(samples [C, L], state) -> (outputs, state)`` where
+        ``outputs["dibits"]`` is [C, S] and ``state.demod.pos`` holds the
+        per-channel consumed positions (DmrPipeline-compatible).
+    decoders: one protocol Decoder per channel (may be None to skip).
+    """
+
+    def __init__(self, pipeline, decoders: Sequence,
+                 on_output: Callable[[int, bytes], None] | None = None):
+        self.pipeline = pipeline
+        self.decoders = list(decoders)
+        self.channels = pipeline.channels
+        assert len(self.decoders) == self.channels
+        self.state = pipeline.init_state()
+        self.buffer = SampleBuffer(self.channels)
+        self.on_output = on_output
+        sps = pipeline.sps
+        self._need = pipeline.n_centuries * (100 * sps + 1) + 2
+
+    def push(self, samples: np.ndarray) -> list:
+        """Feed [C, n] samples; returns list of per-block outputs dicts.
+
+        Decoder payload bytes are routed to ``on_output(channel, data)``.
+        """
+        import jax.numpy as jnp
+
+        self.buffer.push(samples)
+        results = []
+        while True:
+            pos = np.asarray(self.state.demod.pos)
+            need = int(pos.max()) + self._need
+            if self.buffer.fill < need:
+                break
+            block = self.buffer.view(need)
+            out, self.state = self.pipeline.step(
+                jnp.asarray(block), self.state)
+            dibits = np.asarray(out["dibits"])
+            for c, dec in enumerate(self.decoders):
+                if dec is None:
+                    continue
+                payload = dec.process(dibits[c])
+                if payload and self.on_output is not None:
+                    self.on_output(c, payload)
+            results.append(out)
+            new_pos = np.asarray(self.state.demod.pos)
+            base = int(new_pos.min())
+            if base > 0:
+                self.buffer.consume(base)
+                self._rebase(base)
+        return results
+
+    def _rebase(self, base: int) -> None:
+        import jax.numpy as jnp
+
+        demod = self.state.demod
+        demod.pos = demod.pos - jnp.int32(base)
