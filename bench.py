@@ -59,11 +59,15 @@ def main():
         st.demod.pos = jnp.zeros_like(st.demod.pos)
         return st
 
-    # compile + warmup
-    block = gen_block(0)
-    jax.block_until_ready(block)
-    out, state = pipe.step(block, state)
-    jax.block_until_ready(out)
+    # compile + warmup: the first executions absorb deferred backend
+    # compilation (observed ~2-6 min on this tunnel even after a fast
+    # cache-hit client compile)
+    for w in range(2):
+        block = gen_block(1000 + w)
+        jax.block_until_ready(block)
+        out, state = pipe.step(block, state)
+        jax.block_until_ready(out)
+        state = rebase(state)
 
     times = []
     checks = []
