@@ -55,6 +55,21 @@ def main():
         key = jax.random.key(seed)
         return jax.random.normal(key, (channels, L), jnp.float32) * 100.0
 
+    @jax.jit
+    def step_reduced(block, state):
+        # production shape: all outputs are consumed/reduced on device;
+        # the host pulls only small fields. Blocking on the full outputs
+        # dict would time the session tunnel's ~100 MB/s output transfer
+        # of the dense diagnostics, not the chip.
+        out, s2 = pipe.step(block, state)
+        checksum = (out["dibits"].astype(jnp.int32).sum()
+                    + out["sync_dist_dense"].sum()
+                    + out["voice_payload"].astype(jnp.int32).sum()
+                    + out["bptc_data"].sum()
+                    + out["sync_type"].sum()
+                    + out["tact_slot"].sum())
+        return checksum, out["voice_payload"], s2
+
     def rebase(st):
         st.demod.pos = jnp.zeros_like(st.demod.pos)
         return st
@@ -65,8 +80,8 @@ def main():
     for w in range(2):
         block = gen_block(1000 + w)
         jax.block_until_ready(block)
-        out, state = pipe.step(block, state)
-        jax.block_until_ready(out)
+        ck, voice, state = step_reduced(block, state)
+        jax.block_until_ready(ck)
         state = rebase(state)
 
     times = []
@@ -76,12 +91,16 @@ def main():
         jax.block_until_ready(block)
         state = rebase(state)
         t0 = time.perf_counter()
-        out, state = pipe.step(block, state)
-        jax.block_until_ready(out)
+        ck, voice, state = step_reduced(block, state)
+        jax.block_until_ready(ck)
         times.append(time.perf_counter() - t0)
         # self-audit: distinct checksums per rep prove fresh computation
-        checks.append(int(np.asarray(out["dibits"], dtype=np.int64).sum()))
-    dt = min(times)
+        checks.append(int(ck))
+    # median of reps 2..N: the first rep can overlap residual async work
+    # from warmup and read absurdly fast; median resists both that and
+    # tunnel-RTT spikes
+    steady = sorted(times[1:]) if len(times) > 2 else sorted(times)
+    dt = steady[len(steady) // 2]
     assert len(set(checks)) > 1 or reps == 1, (
         "identical outputs across reps — stale-result cache suspected")
 
@@ -94,7 +113,7 @@ def main():
         "vs_baseline": round(msps / 0.048, 1),
         "channels": channels,
         "samples_per_step": samples_per_step,
-        "best_step_seconds": round(dt, 5),
+        "median_step_seconds": round(dt, 5),
         "all_step_seconds": [round(t, 5) for t in times],
         "rep_checksums": checks,
         "backend": jax.devices()[0].platform,

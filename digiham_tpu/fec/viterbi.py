@@ -133,48 +133,53 @@ def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
     )
 
 
+_POPCNT4 = np.array([0, 1, 1, 2], dtype=np.int64)
+
+
 def viterbi_decode_np(observed, num_states: int = 16, blocked_steps: int = 0):
-    """Host-side reference-faithful implementation (control plane / tests)."""
+    """Host-side implementation, state-vectorized in numpy but with the
+    reference's exact tie-breaking (k=0 wins equal metrics, lowest final
+    state wins the final selection). This is the control-plane hot loop:
+    every YSF/NXDN/D-Star frame runs one of these."""
     transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
-    bits_per_state = num_states.bit_length() - 1
+    prev_tbl, exp_tbl = _branch_tables(num_states, transitions)
     obs = np.asarray(observed, dtype=np.int64)
     T = obs.shape[-1]
-
-    def one(seq):
-        metrics = np.zeros(num_states, dtype=np.int64)
-        decisions = np.zeros((T, num_states), dtype=np.int8)
-        blocked = (num_states - 1) if blocked_steps else 0
-        for t in range(T):
-            new_metrics = np.zeros(num_states, dtype=np.int64)
-            for i in range(num_states):
-                outbit = (i >> (bits_per_state - 1)) & 1
-                limit = 2
-                if blocked_steps and (i & blocked):
-                    limit = 1
-                best, sel_k = None, 0
-                for k in range(limit):
-                    p = ((i << 1) & (num_states - 2)) | k
-                    d = bin(int(seq[t]) ^ int(transitions[p][outbit])).count("1")
-                    m = metrics[p] + d
-                    if best is None or m < best:
-                        best, sel_k = m, k
-                new_metrics[i] = best
-                decisions[t, i] = sel_k
-            metrics = new_metrics
-            blocked = (blocked << 1) & (num_states - 1)
-        state = int(np.argmin(metrics))
-        bits = np.zeros(T, dtype=np.int64)
-        for t in range(T - 1, -1, -1):
-            bits[t] = state >> (bits_per_state - 1)
-            state = ((state << 1) & (num_states - 2)) | int(decisions[t, state])
-        return bits, metrics.min()
-
     flat = obs.reshape(-1, T)
-    out_bits = np.zeros_like(flat)
-    out_metric = np.zeros(flat.shape[0], dtype=np.int64)
-    for idx in range(flat.shape[0]):
-        out_bits[idx], out_metric[idx] = one(flat[idx])
-    return out_bits.reshape(obs.shape), out_metric.reshape(obs.shape[:-1])
+    B = flat.shape[0]
+
+    # per-step k=1 permission mask for blocked start states
+    allow_k1 = np.ones((T, num_states), dtype=bool)
+    if blocked_steps:
+        blocked = num_states - 1
+        for t in range(min(blocked_steps, T)):
+            allow_k1[t] = (np.arange(num_states) & blocked) == 0
+            blocked = (blocked << 1) & (num_states - 1)
+
+    BIG = np.int64(1 << 40)
+    metrics = np.zeros((B, num_states), dtype=np.int64)
+    decisions = np.zeros((T, B, num_states), dtype=np.int8)
+    # dist[obs_val, state, k]
+    dist_lut = _POPCNT4[
+        np.arange(4)[:, None, None] ^ exp_tbl[None, :, :]]
+    for t in range(T):
+        dist = dist_lut[flat[:, t]]            # [B, S, 2]
+        cand = metrics[:, prev_tbl.reshape(-1)].reshape(B, num_states, 2) \
+            + dist
+        cand1 = np.where(allow_k1[t], cand[:, :, 1], BIG)
+        take1 = cand1 < cand[:, :, 0]          # strict: k=0 wins ties
+        metrics = np.where(take1, cand1, cand[:, :, 0])
+        decisions[t] = take1
+    state = np.argmin(metrics, axis=-1)        # first index wins ties
+    best_metric = metrics[np.arange(B), state]
+    bits_per_state = num_states.bit_length() - 1
+    out_bits = np.zeros((B, T), dtype=np.int64)
+    rows = np.arange(B)
+    for t in range(T - 1, -1, -1):
+        out_bits[:, t] = state >> (bits_per_state - 1)
+        k = decisions[t, rows, state]
+        state = ((state << 1) & (num_states - 2)) | k
+    return out_bits.reshape(obs.shape), best_metric.reshape(obs.shape[:-1])
 
 
 def conv_encode(bits, num_states: int = 16) -> np.ndarray:

@@ -1,8 +1,9 @@
-"""Per-stage timing of the DMR pipeline on the current backend.
+"""Per-stage timing of the DMR pipeline, cache-proof edition.
 
-Pass states as ARGUMENTS, never closures: closing over state arrays bakes
-them into the HLO as constants, which steered XLA into a ~100x slower
-layout for the demod scan when this tool was first written.
+This session's TPU backend caches results of byte-identical calls, so
+every rep uses fresh on-device random inputs and is individually
+block_until_ready'd; medians reported. States pass as arguments (closure
+constants steer XLA into pathological layouts).
 """
 import time
 
@@ -12,54 +13,81 @@ import jax.numpy as jnp
 
 from digiham_tpu.dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
 from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+from digiham_tpu.pipeline import DmrPipeline
 from digiham_tpu.pipeline.dmr import dmr_sync_correlate, dmr_decode_frames
 from digiham_tpu.protocols.dmr.phases import FRAME_SIZE
 
 C = 256
 SPS = 10
 N_CENT = 8
-ITERS = 30
+REPS = 7
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+L = N_CENT * (100 * SPS + 1) + 8
 
 
-def bench(name, fn, *args):
-    out = fn(*args)
+@jax.jit
+def gen_f32(seed):
+    return jax.random.normal(jax.random.key(seed), (C, L), jnp.float32) * 100
+
+
+@jax.jit
+def gen_dibits(seed):
+    return jax.random.randint(jax.random.key(seed),
+                              (C, N_CENT * 100), 0, 4, jnp.int32)
+
+
+def bench(name, fn, gen, *extra):
+    out = fn(gen(999), *extra)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
+    times = []
+    for rep in range(REPS):
+        x = gen(rep)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        out = fn(x, *extra)
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"{name:24s} {dt*1e3:8.3f} ms/step")
-    return dt
+        times.append(time.perf_counter() - t0)
+    med = sorted(times[1:])[len(times[1:]) // 2]
+    print(f"{name:24s} median {med*1e3:8.3f} ms  "
+          f"(all: {[round(t*1e3,2) for t in times]})")
+    return med
 
 
 def main():
     print("backend:", jax.devices()[0].platform, jax.devices()[0])
-    rng = np.random.default_rng(0)
-    L = N_CENT * (100 * SPS + 1) + 8
-    x = jnp.asarray(rng.normal(0, 100, (C, L)).astype(np.float32))
     rrc_state = RrcState.init(C, WIDE_RRC)
     dm_state = demod_init(C)
+    pipe = DmrPipeline(channels=C, sps=SPS, n_centuries=N_CENT)
+    full_state = pipe.init_state()
 
-    rrc_jit = jax.jit(lambda s, st: rrc_filter_block(s, st, WIDE_RRC))
-    t_rrc = bench("rrc_filter", rrc_jit, x, rrc_state)
-
-    y, _ = rrc_jit(x, rrc_state)
-    t_dem = bench("gfsk_demod",
-                  lambda s, st: gfsk_demod_block(s, st, N_CENT, SPS),
-                  y, dm_state)
-
-    dibits, _ = gfsk_demod_block(y, dm_state, N_CENT, SPS)
-    t_sync = bench("sync_correlate", dmr_sync_correlate, dibits)
-
+    t_rrc = bench(
+        "rrc_filter",
+        jax.jit(lambda x, st: rrc_filter_block(x, st, WIDE_RRC)[0]),
+        gen_f32, rrc_state)
+    t_dem = bench(
+        "gfsk_demod",
+        jax.jit(lambda x, st: gfsk_demod_block(x, st, N_CENT, SPS)[0]),
+        gen_f32, dm_state)
+    t_sync = bench("sync_correlate", dmr_sync_correlate, gen_dibits)
     n_frames = (N_CENT * 100) // FRAME_SIZE
-    frames = dibits[:, :n_frames * FRAME_SIZE].reshape(C, n_frames, FRAME_SIZE)
-    t_dec = bench("frame_decode", dmr_decode_frames, frames)
+    t_dec = bench(
+        "frame_decode",
+        jax.jit(lambda d: dmr_decode_frames(
+            d[:, :n_frames * FRAME_SIZE].reshape(C, n_frames, FRAME_SIZE))),
+        gen_dibits)
+    t_full = bench(
+        "FULL fused step",
+        jax.jit(lambda x, st: pipe.step(x, st)[0]["voice_payload"]),
+        gen_f32, full_state)
 
     total = t_rrc + t_dem + t_sync + t_dec
     samples = C * N_CENT * 100 * SPS
     print(f"{'sum of stages':24s} {total*1e3:8.3f} ms "
           f"=> {samples/total/1e6:.0f} Msamples/s")
+    print(f"{'fused':24s} {t_full*1e3:8.3f} ms "
+          f"=> {samples/t_full/1e6:.0f} Msamples/s")
 
 
 if __name__ == "__main__":
