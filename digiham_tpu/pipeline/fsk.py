@@ -1,0 +1,87 @@
+"""Fused device pipeline for 2FSK bit-stream protocols (D-Star, POCSAG).
+
+samples -> (optional RRC) -> 2FSK demod -> bits + dense sync distances for
+the protocol's patterns. ChannelBank-compatible step contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.demod import DemodState, demod_init, fsk_demod_block
+from ..dsp.rrc import RrcDesign, RrcState, rrc_filter_block
+from ..protocols.dstar.phases import HEADER_SYNC, VOICE_SYNC
+from ..protocols.pocsag import SYNC_PATTERN as POCSAG_SYNC
+
+
+def bit_sync_correlate(bits: jnp.ndarray, pattern: np.ndarray):
+    """[C, T] bits -> [C, T-len+1] distances via shifted XOR adds."""
+    b = bits.astype(jnp.int32)
+    n = len(pattern)
+    n_off = b.shape[-1] - n + 1
+    acc = jnp.zeros(b.shape[:-1] + (n_off,), jnp.int32)
+    for k in range(n):
+        acc = acc + (jax.lax.slice_in_dim(b, k, k + n_off, axis=-1)
+                     ^ int(pattern[k]))
+    return acc
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FskPipelineState:
+    rrc: RrcState | None
+    demod: DemodState
+
+    def tree_flatten(self):
+        return (self.rrc, self.demod), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class FskPipeline:
+    """2FSK front end for a channel bank.
+
+    protocol: "dstar" (10 sps, no RRC, header+voice sync correlations) or
+    "pocsag" (40 sps, inverted, preamble correlation).
+    """
+
+    def __init__(self, channels: int, protocol: str = "dstar",
+                 n_centuries: int = 4, rrc: RrcDesign | None = None):
+        self.channels = channels
+        self.protocol = protocol
+        if protocol == "dstar":
+            self.sps, self.invert = 10, False
+            self.patterns = {"header_sync": HEADER_SYNC,
+                             "voice_sync": VOICE_SYNC}
+        elif protocol == "pocsag":
+            self.sps, self.invert = 40, True
+            self.patterns = {"preamble": POCSAG_SYNC}
+        else:
+            raise ValueError(protocol)
+        self.rrc = rrc
+        self.n_centuries = n_centuries
+        self.symbols_per_block = n_centuries * 100
+
+    def init_state(self) -> FskPipelineState:
+        rrc_state = (RrcState.init(self.channels, self.rrc)
+                     if self.rrc is not None else None)
+        return FskPipelineState(rrc_state, demod_init(self.channels))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, samples: jnp.ndarray, state: FskPipelineState):
+        x = samples
+        rrc_state = state.rrc
+        if self.rrc is not None:
+            x, rrc_state = rrc_filter_block(x, state.rrc, self.rrc)
+        bits, demod_state = fsk_demod_block(
+            x, state.demod, self.n_centuries, self.sps, self.invert)
+        outputs = {"dibits": bits}
+        for name, pattern in self.patterns.items():
+            outputs[f"sync_dist_{name}"] = bit_sync_correlate(bits, pattern)
+        return outputs, FskPipelineState(rrc_state, demod_state)

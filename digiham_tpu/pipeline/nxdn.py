@@ -51,6 +51,52 @@ def _depunctured_viterbi(bits: jnp.ndarray, table) -> jnp.ndarray:
     return decoded
 
 
+import dataclasses
+import functools
+
+from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
+from ..dsp.rrc import NARROW_RRC, RrcState, rrc_filter_block
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class NxdnPipelineState:
+    rrc: RrcState
+    demod: DemodState
+
+    def tree_flatten(self):
+        return (self.rrc, self.demod), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class NxdnPipeline:
+    """Fused device pipeline for NXDN48 channel banks: narrow RRC ->
+    4FSK @20 sps -> dibits + dense sync distances. ChannelBank-compatible."""
+
+    def __init__(self, channels: int, sps: int = 20, n_centuries: int = 4):
+        self.channels = channels
+        self.sps = sps
+        self.n_centuries = n_centuries
+        self.symbols_per_block = n_centuries * 100
+
+    def init_state(self) -> NxdnPipelineState:
+        return NxdnPipelineState(RrcState.init(self.channels, NARROW_RRC),
+                                 demod_init(self.channels))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, samples: jnp.ndarray, state: NxdnPipelineState):
+        filtered, rrc_state = rrc_filter_block(
+            samples, state.rrc, NARROW_RRC)
+        dibits, demod_state = gfsk_demod_block(
+            filtered, state.demod, self.n_centuries, self.sps)
+        outputs = {"dibits": dibits,
+                   "sync_dist_dense": nxdn_sync_correlate(dibits)}
+        return outputs, NxdnPipelineState(rrc_state, demod_state)
+
+
 @jax.jit
 def decode_sacch_batch(sacch_dibits: jnp.ndarray):
     """[..., 30] descrambled-domain raw SACCH dibits (pre-descramble, in-

@@ -98,6 +98,59 @@ def decode_vd2_voice_batch(voice_dibits: jnp.ndarray) -> jnp.ndarray:
     return by.astype(jnp.uint8)
 
 
+import dataclasses
+import functools
+
+from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
+from ..dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class YsfPipelineState:
+    rrc: RrcState
+    demod: DemodState
+
+    def tree_flatten(self):
+        return (self.rrc, self.demod), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class YsfPipeline:
+    """Fused device pipeline for YSF channel banks: samples -> dibits ->
+    dense sync distances + per-480-frame FICH/voice fields. ChannelBank-
+    compatible (same step contract as DmrPipeline)."""
+
+    def __init__(self, channels: int, sps: int = 10, n_centuries: int = 10):
+        self.channels = channels
+        self.sps = sps
+        self.n_centuries = n_centuries
+        self.symbols_per_block = n_centuries * 100
+
+    def init_state(self) -> YsfPipelineState:
+        return YsfPipelineState(RrcState.init(self.channels, WIDE_RRC),
+                                demod_init(self.channels))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def step(self, samples: jnp.ndarray, state: YsfPipelineState):
+        filtered, rrc_state = rrc_filter_block(samples, state.rrc, WIDE_RRC)
+        dibits, demod_state = gfsk_demod_block(
+            filtered, state.demod, self.n_centuries, self.sps)
+        sync_dist_dense = ysf_sync_correlate(dibits)
+        n_frames = self.symbols_per_block // FRAME_SIZE
+        fields = {}
+        if n_frames:
+            frames = dibits[:, :n_frames * FRAME_SIZE].reshape(
+                self.channels, n_frames, FRAME_SIZE)
+            fields = ysf_decode_frames(frames)
+        outputs = {"dibits": dibits, "sync_dist_dense": sync_dist_dense,
+                   **fields}
+        return outputs, YsfPipelineState(rrc_state, demod_state)
+
+
 @jax.jit
 def ysf_decode_frames(frames: jnp.ndarray):
     """[..., 480] frame dibits -> field dict: sync distance, FICH word/ok,
