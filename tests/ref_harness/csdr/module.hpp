@@ -1,6 +1,10 @@
 #pragma once
 #include <algorithm>
 #include <mutex>
+// the real csdr headers pull these in transitively; reference sources
+// rely on that (e.g. ::roundf, ::pow, malloc)
+#include <math.h>
+#include <stdlib.h>
 #include "reader.hpp"
 #include "writer.hpp"
 #include "source.hpp"
