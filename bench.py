@@ -136,6 +136,7 @@ def main():
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 0.048, 1),
+        "vs_reference_core": round(msps / 9.5, 1),
         "channels": channels,
         "samples_per_step": samples_per_step,
         "median_step_seconds": round(dt, 5),
