@@ -67,6 +67,21 @@ class TestRrcFilterCli:
         np.testing.assert_allclose(y.max(), peak, rtol=1e-5)
 
 
+class TestMetadataFifo:
+    def test_dmr_decoder_meta_file(self, tmp_path):
+        """-f writes the out-of-band metadata stream (reference
+        DecoderCli contract, src/lib/cli.cpp:117-141)."""
+        from dmr_synth import data_frame, group_lc
+        lc = group_lc(2300042, 2623317)
+        frames = [data_frame(s % 2, 1, lc) for s in range(6)]
+        dibits = np.concatenate(frames).astype(np.uint8)
+        meta = str(tmp_path / "meta.txt")
+        out = run_tool("dmr_decoder_main", ["-f", meta], dibits.tobytes())
+        content = open(meta).read()
+        assert "protocol:DMR" in content
+        assert "source:2623317" in content and "target:2300042" in content
+
+
 class TestDmrPipelineCli:
     def test_gfsk_into_dmr(self):
         """gfsk_demodulator | dmr_decoder — two-stage shell pipeline."""
