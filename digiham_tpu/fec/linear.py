@@ -134,17 +134,34 @@ def decode(code: BlockCode, words: jnp.ndarray):
     return corrected, ok
 
 
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int64)
+
+
 def decode_np(code: BlockCode, words) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side (numpy) variant of :func:`decode` for the control plane."""
+    """Host-side variant of :func:`decode` for the control plane.
+
+    Scalar fast path uses python int popcounts (the per-frame hot call in
+    the protocol phase machines); arrays use byte-LUT parity."""
+    if np.isscalar(words) or getattr(words, "ndim", None) == 0:
+        w = int(words)
+        s = 0
+        for row in code.parity_rows:
+            s = (s << 1) | ((w & int(row)).bit_count() & 1)
+        err = int(code.syndrome_table[s])
+        if err < 0:
+            return np.int64(w), np.bool_(False)
+        return np.int64(w ^ err), np.bool_(True)
+
     words = np.asarray(words, dtype=np.int64)
     syndrome = np.zeros_like(words)
+    nbytes = (code.n + 7) // 8
     for row in code.parity_rows:
-        bits = np.zeros_like(words)
         masked = words & row
-        while np.any(masked):
-            bits ^= masked & 1
-            masked >>= 1
-        syndrome = (syndrome << 1) | bits
+        pop = np.zeros_like(words)
+        for b in range(nbytes):
+            pop += _POP8[(masked >> (8 * b)) & 0xFF]
+        syndrome = (syndrome << 1) | (pop & 1)
     err = code.syndrome_table[syndrome]
     ok = err >= 0
     corrected = words ^ np.where(ok, err, 0)

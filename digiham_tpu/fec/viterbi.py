@@ -137,10 +137,21 @@ _POPCNT4 = np.array([0, 1, 1, 2], dtype=np.int64)
 
 
 def viterbi_decode_np(observed, num_states: int = 16, blocked_steps: int = 0):
-    """Host-side implementation, state-vectorized in numpy but with the
-    reference's exact tie-breaking (k=0 wins equal metrics, lowest final
-    state wins the final selection). This is the control-plane hot loop:
-    every YSF/NXDN/D-Star frame runs one of these."""
+    """Host-side implementation with the reference's exact tie-breaking
+    (k=0 wins equal metrics, lowest final state wins the final selection).
+    This is the control-plane hot loop: every YSF/NXDN/D-Star frame runs
+    one of these. Dispatches to the native C++ kernel when available
+    (~100x the numpy path for single sequences); the numpy path below is
+    the portable fallback and the batch path."""
+    obs_arr = np.asarray(observed, dtype=np.int64)
+    if obs_arr.ndim == 1:
+        from .. import native
+        result = native.viterbi(obs_arr.astype(np.uint8), num_states,
+                                blocked_steps)
+        if result is not None:
+            bits, metric = result
+            return bits.astype(np.int64), np.int64(metric)
+
     transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
     prev_tbl, exp_tbl = _branch_tables(num_states, transitions)
     obs = np.asarray(observed, dtype=np.int64)

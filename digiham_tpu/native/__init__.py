@@ -84,6 +84,9 @@ def _load():
         lib.dh_deinterleave_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
             ctypes.c_size_t, ctypes.POINTER(ctypes.c_float)]
+        lib.dh_viterbi.restype = ctypes.c_int64
+        lib.dh_viterbi.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                   ctypes.c_int32, u8p]
         _lib = lib
         return lib
 
@@ -181,6 +184,22 @@ def deinterleave_f32(interleaved: np.ndarray, channels: int) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
     return x[:frames * channels].reshape(frames, channels).T.copy()
+
+
+def viterbi(dibits: np.ndarray, num_states: int = 16,
+            blocked_steps: int = 0):
+    """Native 16/4-state Viterbi: [T] dibits -> (bits [T], metric).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dibits, np.uint8)
+    out = np.zeros(d.size, np.uint8)
+    metric = lib.dh_viterbi(_u8(d), d.size, num_states, blocked_steps,
+                            _u8(out))
+    if metric < 0:
+        return None
+    return out, int(metric)
 
 
 class RingBuffer:

@@ -101,6 +101,63 @@ void dh_unpack_dibits(const uint8_t* in, size_t n_dibits, uint8_t* out) {
     }
 }
 
+// ---------------------------------------------------------------- viterbi
+// 16-state rate-1/2 Viterbi (K=5) with the protocol family's exact
+// semantics: state = last 4 decoded bits (newest in MSB), branch metric =
+// popcount of dibit XOR, k=0 predecessor wins metric ties, lowest final
+// state wins the final selection, optional NXDN blocked start states
+// (rotating mask over the first 4 steps). Mirrors fec/viterbi.py; the
+// Python layer dispatches here for the per-frame control-plane decodes.
+static const uint8_t vit_transitions16[16][2] = {
+    {0, 3}, {3, 0}, {2, 1}, {1, 2}, {1, 2}, {2, 1}, {3, 0}, {0, 3},
+    {1, 2}, {2, 1}, {3, 0}, {0, 3}, {0, 3}, {3, 0}, {2, 1}, {1, 2},
+};
+
+int64_t dh_viterbi(const uint8_t* dibits, int64_t T, int32_t num_states,
+                   int32_t blocked_steps, uint8_t* out_bits) {
+    const int S = num_states;            // 4 or 16
+    const int bits_per_state = (S == 16) ? 4 : 2;
+    int32_t metrics[16];
+    int32_t next_metrics[16];
+    // decisions packed: one byte per (t, state)
+    uint8_t* decisions = (uint8_t*) malloc((size_t) T * S);
+    if (!decisions) return -1;
+    for (int i = 0; i < S; i++) metrics[i] = 0;
+    int blocked = blocked_steps ? (S - 1) : 0;
+    for (int64_t t = 0; t < T; t++) {
+        const int ob = dibits[t] & 3;
+        for (int i = 0; i < S; i++) {
+            const int outbit = (i >> (bits_per_state - 1)) & 1;
+            const int p0 = (i << 1) & (S - 2);
+            const int p1 = p0 | 1;
+            const int d0 = popcount8((uint8_t) (ob ^ vit_transitions16[p0][outbit]));
+            const int32_t m0 = metrics[p0] + d0;
+            int take1 = 0;
+            int32_t best = m0;
+            if (!(blocked_steps && (i & blocked))) {
+                const int d1 = popcount8((uint8_t) (ob ^ vit_transitions16[p1][outbit]));
+                const int32_t m1 = metrics[p1] + d1;
+                if (m1 < m0) { best = m1; take1 = 1; }
+            }
+            next_metrics[i] = best;
+            decisions[t * S + i] = (uint8_t) take1;
+        }
+        for (int i = 0; i < S; i++) metrics[i] = next_metrics[i];
+        blocked = (blocked << 1) & (S - 1);
+    }
+    int state = 0;
+    int32_t best_metric = metrics[0];
+    for (int i = 1; i < S; i++) {
+        if (metrics[i] < best_metric) { best_metric = metrics[i]; state = i; }
+    }
+    for (int64_t t = T - 1; t >= 0; t--) {
+        out_bits[t] = (uint8_t) ((state >> (bits_per_state - 1)) & 1);
+        state = ((state << 1) & (S - 2)) | decisions[t * S + state];
+    }
+    free(decisions);
+    return best_metric;
+}
+
 // -------------------------------------------------------------- ringbuffer
 // SPSC byte ring buffer: one ingest thread writes, one dispatch thread
 // reads. Capacity must be a power of two.

@@ -211,6 +211,19 @@ class DmrPipeline:
         )
 
     @functools.partial(jax.jit, static_argnums=0)
+    def step_iq(self, iq: jnp.ndarray, last_iq: jnp.ndarray,
+                state: DmrPipelineState):
+        """Raw-IQ ingest variant: [C, L] complex64 -> FM discriminator ->
+        the sample pipeline (the on-device equivalent of the reference's
+        external rtl_fm front end). last_iq: [C] carry.
+        Returns (outputs, new_iq_carry, new state)."""
+        from ..dsp.fm import fm_discriminator
+
+        audio, iq_carry = fm_discriminator(iq, last_iq)
+        out, new_state = self.step(audio * 5000.0, state)
+        return out, iq_carry, new_state
+
+    @functools.partial(jax.jit, static_argnums=0)
     def step(self, samples: jnp.ndarray, state: DmrPipelineState):
         """samples: [C, L] float32 (L >= pos_max + n_centuries*(100*sps+1)).
 

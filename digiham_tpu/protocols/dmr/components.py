@@ -90,19 +90,20 @@ class Cach:
         self.tact = tact
         self.payload = payload
 
+    _TACT_WEIGHTS = (1 << np.arange(6, -1, -1)).astype(np.int64)
+    _PAYLOAD_WEIGHTS = (1 << (np.arange(17) % 8)).astype(np.int64)
+
     @staticmethod
     def parse(dibits: np.ndarray) -> "Cach":
-        bits = np.zeros(24, dtype=np.uint8)
-        d = np.asarray(dibits[:12], dtype=np.uint8)
+        bits = np.empty(24, dtype=np.int64)
+        d = np.asarray(dibits[:12], dtype=np.int64)
         bits[0::2] = (d >> 1) & 1
         bits[1::2] = d & 1
-        tact_word = 0
-        for b in TACT_POSITIONS:
-            tact_word = (tact_word << 1) | int(bits[b])
-        payload = bytearray(3)
-        for i, b in enumerate(PAYLOAD_POSITIONS):
-            payload[i // 8] |= int(bits[b]) << (i % 8)
-        return Cach(Tact.parse(tact_word), bytes(payload))
+        tact_word = int(bits[TACT_POSITIONS] @ Cach._TACT_WEIGHTS)
+        pbits = bits[PAYLOAD_POSITIONS] * Cach._PAYLOAD_WEIGHTS
+        payload = bytes([int(pbits[0:8].sum()), int(pbits[8:16].sum()),
+                         int(pbits[16:].sum())])
+        return Cach(Tact.parse(tact_word), payload)
 
     def has_tact(self) -> bool:
         return self.tact is not None

@@ -101,8 +101,11 @@ class SyncPhase(Phase):
     def required_data(self) -> int:
         return SYNC_SIZE + SYNC_OFFSET
 
+    MAX_SCAN = 4096  # offsets per call: bounds latency on huge buffers
+
     def process(self, data: np.ndarray, output: Output):
-        n = len(data)
+        n = min(len(data), SYNC_OFFSET + SYNC_SIZE - 1 + self.MAX_SCAN)
+        data = data[:n]
         usable = n - SYNC_OFFSET
         if usable < SYNC_SIZE:
             return None, 0

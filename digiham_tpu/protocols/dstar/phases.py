@@ -44,10 +44,13 @@ def _dist(a: np.ndarray, b: np.ndarray) -> int:
 
 
 class SyncPhase(Phase):
+    MAX_SCAN = 8192
+
     def required_data(self) -> int:
         return SYNC_SIZE
 
     def process(self, data: np.ndarray, output: Output):
+        data = data[:SYNC_SIZE - 1 + self.MAX_SCAN]
         windows = np.lib.stride_tricks.sliding_window_view(data, SYNC_SIZE)
         hdist = _BIT_LUT[windows ^ HEADER_SYNC].sum(axis=1)
         vdist = _BIT_LUT[windows ^ VOICE_SYNC].sum(axis=1)

@@ -41,10 +41,13 @@ def is_sync(window: np.ndarray) -> bool:
 
 
 class SyncPhase(Phase):
+    MAX_SCAN = 4096
+
     def required_data(self) -> int:
         return SYNC_SIZE
 
     def process(self, data: np.ndarray, output: Output):
+        data = data[:SYNC_SIZE - 1 + self.MAX_SCAN]
         windows = np.lib.stride_tricks.sliding_window_view(data, SYNC_SIZE)
         dist = _BIT_LUT[windows ^ FRAME_SYNC].sum(axis=1)
         hits = np.nonzero(dist <= 2)[0]

@@ -175,8 +175,11 @@ class SyncPhase(Phase):
     def required_data(self) -> int:
         return SYNC_SIZE
 
+    MAX_SCAN = 8192
+
     def process(self, data: np.ndarray, output: Output):
-        n = len(data)
+        n = min(len(data), SYNC_SIZE - 1 + self.MAX_SCAN)
+        data = data[:n]
         if n < SYNC_SIZE:
             return None, 0
         # distances at all complete offsets

@@ -136,10 +136,13 @@ def decode_header_dch(payload: np.ndarray, block: int) -> bytes | None:
 class SyncPhase(Phase):
     """Symbol-by-symbol hunt for D471C9634D (ysf_phase.cpp:21-33)."""
 
+    MAX_SCAN = 4096
+
     def required_data(self) -> int:
         return SYNC_SIZE
 
     def process(self, data: np.ndarray, output: Output):
+        data = data[:SYNC_SIZE - 1 + self.MAX_SCAN]
         windows = np.lib.stride_tricks.sliding_window_view(data, SYNC_SIZE)
         dist = _BIT_LUT[windows ^ YSF_SYNC].sum(axis=1)
         hits = np.nonzero(dist <= 3)[0]
