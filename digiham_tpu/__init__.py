@@ -9,3 +9,22 @@ batched over many channels and shardable over TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+_SUBMODULES = ("fec", "dsp", "protocols", "pipeline", "runtime", "parallel",
+               "codec", "cli", "native", "ops", "utils")
+
+
+def __getattr__(name):
+    """Lazy subpackage access: ``import digiham_tpu`` stays cheap (no jax
+    import) while ``digiham_tpu.dsp`` etc. resolve on first touch."""
+    if name in _SUBMODULES:
+        import importlib
+
+        module = importlib.import_module(f".{name}", __name__)
+        globals()[name] = module
+        return module
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))
