@@ -293,34 +293,41 @@ class TalkerAliasCollector:
         if fmt == TALKER_ALIAS_FORMAT_8BIT:
             return nbytes - 1 >= self._length()
         if fmt == TALKER_ALIAS_FORMAT_UTF8:
-            return len(self.get_contents()) >= self._length()
+            # reference compares std::string BYTE length
+            return len(self._contents_bytes()) >= self._length()
         if fmt == TALKER_ALIAS_FORMAT_UTF16:
             return (nbytes - 1) // 2 >= self._length()
         return False
 
-    def get_contents(self) -> str:
-        if not self._has_header():
-            return ""
+    def _contents_bytes(self) -> bytes:
+        """UTF-8 byte string before truncation (the reference works on
+        std::string bytes throughout, talkeralias.cpp:62-117)."""
         nbytes = self._collected_bytes()
         fmt = self._data_format()
         if fmt == TALKER_ALIAS_FORMAT_7BIT:
             parts = [self._convert_7bit(bytes(self.data[i:i + 7]))
                      for i in range(0, nbytes, 7)]
-            result = "".join(parts)[1:]  # first char built from header bits
-        elif fmt == TALKER_ALIAS_FORMAT_8BIT:
-            result = convert_to_utf8(bytes(self.data[1:nbytes]))
-        elif fmt == TALKER_ALIAS_FORMAT_UTF8:
-            result = bytes(self.data[1:nbytes]).decode(
-                "utf-8", errors="replace")
-        elif fmt == TALKER_ALIAS_FORMAT_UTF16:
+            return "".join(parts)[1:].encode("utf-8")
+        if fmt == TALKER_ALIAS_FORMAT_8BIT:
+            return convert_to_utf8(bytes(self.data[1:nbytes])).encode("utf-8")
+        if fmt == TALKER_ALIAS_FORMAT_UTF8:
+            return bytes(self.data[1:nbytes])
+        if fmt == TALKER_ALIAS_FORMAT_UTF16:
             chars = (nbytes - 1) // 2
-            result = bytes(self.data[1:1 + 2 * chars]).decode(
-                "utf-16-be", errors="replace")
-        else:
+            return bytes(self.data[1:1 + 2 * chars]).decode(
+                "utf-16-be", errors="replace").encode("utf-8")
+        return b""
+
+    def get_contents(self) -> str:
+        if not self._has_header():
             return ""
-        if len(result) > self._length():
-            result = result[:self._length()]
-        return result
+        raw = self._contents_bytes()
+        # byte-wise substr like the reference — may split a multibyte
+        # sequence; surrogateescape preserves those bytes through the
+        # metadata path
+        if len(raw) > self._length():
+            raw = raw[:self._length()]
+        return raw.decode("utf-8", errors="surrogateescape")
 
 
 class Gps:

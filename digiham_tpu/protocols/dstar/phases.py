@@ -236,18 +236,22 @@ class VoicePhase(Phase):
             return
         fields = body.split(",")
         if message == "GGA":
+            # all-float32 arithmetic like the C code (stof + float ops,
+            # dstar_phase.cpp:257-268); note `(int) lat_combined / 100`
+            # is integer division there
             try:
-                lat_combined = float(fields[2])
-                lat = int(lat_combined) // 100
-                lat += (lat_combined - lat * 100) / 60
+                f32 = np.float32
+                lat_c = f32(fields[2])
+                lat = f32(int(int(lat_c) / 100))  # C trunc-toward-zero
+                lat = f32(lat + (lat_c - f32(lat * f32(100.0))) / f32(60.0))
                 if fields[3] == "S":
-                    lat = -lat
-                lon_combined = float(fields[4])
-                lon = int(lon_combined) // 100
-                lon += (lon_combined - lon * 100) / 60
+                    lat = f32(-lat)
+                lon_c = f32(fields[4])
+                lon = f32(int(int(lon_c) / 100))
+                lon = f32(lon + (lon_c - f32(lon * f32(100.0))) / f32(60.0))
                 if fields[5] == "W":
-                    lon = -lon
+                    lon = f32(-lon)
             except (IndexError, ValueError):
                 return
             if meta is not None:
-                meta.set_gps(Coordinate(np.float32(lat), np.float32(lon)))
+                meta.set_gps(Coordinate(lat, lon))

@@ -47,15 +47,17 @@ class Gps:
 
     @staticmethod
     def parse(data: bytes) -> Coordinate | None:
+        f32 = np.float32
         if any((data[i] & 0x0F) > 9 for i in range(6)):
             return None
-        lat = (
-            (data[0] & 0x0F) * 10
-            + (data[1] & 0x0F)
-            + (data[2] & 0x0F) / 6
-            + (data[3] & 0x0F) / 60
-            + (data[4] & 0x0F) / 600
-            + (data[5] & 0x0F) / 6000
+        # float arithmetic exactly as the C code (gps.cpp:12-18)
+        lat = f32(
+            f32((data[0] & 0x0F) * 10)
+            + f32(data[1] & 0x0F)
+            + f32(f32(data[2] & 0x0F) / f32(6))
+            + f32(f32(data[3] & 0x0F) / f32(60))
+            + f32(f32(data[4] & 0x0F) / f32(600))
+            + f32(f32(data[5] & 0x0F) / f32(6000))
         )
         direction = data[3] & 0xF0
         if direction == 0x50:
@@ -85,23 +87,24 @@ class Gps:
             # reference reads uninitialized lon here; treat as invalid
             return None
 
+        lon = f32(lon)
         b = data[7]
         if 0x58 < b <= 0x61:
-            lon += (b - 0x58) / 60
+            lon = f32(lon + f32(f32(b - 0x58) / f32(60)))
         elif 0x26 <= b <= 0x57:
-            lon += (10 + (b - 0x26)) / 60
+            lon = f32(lon + f32(f32(10 + (b - 0x26)) / f32(60)))
         else:
             return None
 
         b = data[8]
         if 0x1C <= b < 0x7F:
-            lon += (b - 0x1C) / 6000
+            lon = f32(lon + f32(f32(b - 0x1C) / f32(6000)))
         else:
             return None
 
         direction = data[5] & 0xF0
         if direction == 0x50:
-            lon = -lon  # western hemisphere
+            lon = f32(-lon)  # western hemisphere
         elif direction == 0x30:
             pass
         else:
@@ -109,7 +112,7 @@ class Gps:
 
         if lat > 90 or lat < -90 or lon > 180 or lon < -180:
             return None
-        return Coordinate(np.float32(lat), np.float32(lon))
+        return Coordinate(lat, lon)
 
 
 class DataFrame:

@@ -24,7 +24,9 @@ class StringSerializer:
     @staticmethod
     def serialize(data: dict) -> bytes:
         body = ";".join(f"{k}:{data[k]}" for k in sorted(data))
-        return (body + "\n").encode("utf-8")
+        # surrogateescape: byte-truncated alias strings may carry split
+        # multibyte sequences, which the reference forwards verbatim
+        return (body + "\n").encode("utf-8", errors="surrogateescape")
 
 
 class MetaWriter:

@@ -1,0 +1,129 @@
+"""Golden edge-case tests: paths the main fuzz doesn't reach — GPS
+coordinate formatting (float math + to_string rounding), talker alias
+formats, YSF V1/VW voice modes, D-Star NMEA/D-PRS."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from test_golden_reference import compare
+
+import dmr_synth
+from dmr_synth import (data_frame, embedded_fragments, make_lc_bytes,
+                       voice_superframe)
+from digiham_tpu.protocols.dmr.components import (LC_GPS_INFO,
+                                                  LC_TALKER_ALIAS_HDR)
+
+
+class TestDmrGpsGolden:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_gps_coordinates(self, seed, tmp_path):
+        """Random 24/25-bit lat/lon values: float math and the 6-decimal
+        to_string formatting must match the C++ exactly."""
+        from digiham_tpu.protocols.dmr import make_decoder
+        rng = np.random.default_rng(seed)
+        payload = bytes([int(rng.integers(0, 256)) for _ in range(7)])
+        lc = make_lc_bytes(LC_GPS_INFO, payload)
+        frames = [data_frame(s % 2, 1, lc) for s in range(6)]
+        stream = np.concatenate(frames)
+        compare("dmr", make_decoder, stream, tmp_path)
+
+
+class TestDmrAliasGolden:
+    @pytest.mark.parametrize("fmt,text", [
+        (1, b"DL1ABC"),            # 8-bit ISO
+        (1, b"K\xdcRT"),           # 8-bit with non-ASCII (latin-1 U-umlaut)
+        (2, "DK5ÄB".encode("utf-8")[:6]),   # UTF-8
+    ])
+    def test_alias_formats(self, fmt, text, tmp_path):
+        """Talker alias via voice-header LCs in a superframe stream."""
+        from digiham_tpu.protocols.dmr import make_decoder
+        hdr = bytes([(fmt << 6) | (len(text) << 1)]) + text[:6].ljust(6, b"\x00")
+        blk1 = (text[6:] if len(text) > 6 else b"").ljust(7, b"\x00")
+        lc_hdr = make_lc_bytes(LC_TALKER_ALIAS_HDR, hdr[:7])
+        lc_blk = make_lc_bytes(LC_TALKER_ALIAS_HDR + 1, blk1)
+        frames = [data_frame(s % 2, 1, lc_hdr) for s in range(4)]
+        frames += [data_frame(s % 2, 1, lc_blk) for s in range(2)]
+        stream = np.concatenate(frames)
+        compare("dmr", make_decoder, stream, tmp_path)
+
+
+class TestYsfModesGolden:
+    def _frame_with_fich(self, data_type, payload_dibits):
+        from ysf_synth import make_fich_word
+        from digiham_tpu.protocols.ysf.fich import encode_fich
+        from digiham_tpu.protocols.ysf.phases import (FICH_SIZE, FRAME_SIZE,
+                                                      SYNC_SIZE, YSF_SYNC)
+        frame = np.zeros(FRAME_SIZE, np.uint8)
+        frame[:SYNC_SIZE] = YSF_SYNC
+        frame[SYNC_SIZE:SYNC_SIZE + FICH_SIZE] = encode_fich(
+            make_fich_word(1, data_type))
+        frame[SYNC_SIZE + FICH_SIZE:] = payload_dibits
+        return frame
+
+    @pytest.mark.parametrize("data_type", [0, 1, 3])
+    def test_v1_fr_and_datafr_modes(self, data_type, tmp_path):
+        """V/D1 (incl. the reference's `=` packing quirk), VW full-rate,
+        and FR-data stub against the reference."""
+        from digiham_tpu.protocols.ysf import make_decoder
+        rng = np.random.default_rng(data_type)
+        frames = [self._frame_with_fich(
+            data_type, rng.integers(0, 4, 360).astype(np.uint8))
+            for _ in range(4)]
+        stream = np.concatenate(frames + [np.zeros(481, np.uint8)])
+        compare("ysf", make_decoder, stream, tmp_path)
+
+    def test_vw_subframe_after_header(self, tmp_path):
+        """HEADER then VW: expectSubFrame skips the first 3 blocks
+        (ysf_phase.cpp:113-118)."""
+        from digiham_tpu.protocols.ysf import make_decoder
+        from ysf_synth import header_frame
+        rng = np.random.default_rng(7)
+        frames = [np.asarray(header_frame(b"A", b"B", b"C", b"D"), np.uint8)]
+        frames += [self._frame_with_fich(
+            3, rng.integers(0, 4, 360).astype(np.uint8)) for _ in range(3)]
+        stream = np.concatenate(frames + [np.zeros(481, np.uint8)])
+        compare("ysf", make_decoder, stream, tmp_path)
+
+
+class TestDstarTextGolden:
+    def _slow_data_stream(self, sentence: bytes):
+        from test_dstar import full_voice_stream
+        frames = {}
+        pieces = [sentence[i:i + 5] for i in range(0, len(sentence), 5)]
+        fc = 0
+        for piece in pieces:
+            if fc >= 20:
+                break
+            frames[fc] = bytes([0x30 | len(piece)]) + piece[:2]
+            frames[fc + 1] = (piece[2:] + b"\x00" * 3)[:3]
+            fc += 2
+        return np.concatenate(
+            full_voice_stream(24, message_frames=frames)
+            + [np.zeros(250, np.uint8)])
+
+    def test_nmea_gga(self, tmp_path):
+        """NMEA GGA coordinate parsing + float formatting vs reference."""
+        from digiham_tpu.protocols.dstar import make_decoder
+        body = b"GPGGA,1234,4217.24,N,07153.6,W,1*"
+        checksum = 0
+        for ch in body[:-1]:
+            checksum ^= ch
+        sentence = b"$" + body + f"{checksum:02X}".encode() + b"\r"
+        stream = self._slow_data_stream(sentence)
+        out = compare("dstar", make_decoder, stream, tmp_path)
+
+    def test_dprs(self, tmp_path):
+        from digiham_tpu.fec.crc import crc16_dstar
+        from digiham_tpu.protocols.dstar import make_decoder
+        dprs_body = b"W1AW>API705,DSTAR*:!4217.24N\r"
+        bits = np.unpackbits(np.frombuffer(dprs_body, np.uint8),
+                             bitorder="little")
+        crc = int(crc16_dstar(len(bits)).compute_np(bits))
+        sentence = b"$$CRC%04X," % crc + dprs_body
+        stream = self._slow_data_stream(sentence)
+        compare("dstar", make_decoder, stream, tmp_path)
