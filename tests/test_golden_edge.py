@@ -52,6 +52,68 @@ class TestDmrAliasGolden:
         compare("dmr", make_decoder, stream, tmp_path)
 
 
+class TestDmrAlias7bitUtf16Golden:
+    def test_7bit_alias(self, tmp_path):
+        """Format 0: 7-bit packed chars across header+blocks."""
+        from digiham_tpu.protocols.dmr import make_decoder
+        text = "DL7BIT/ALIAS"
+        # pack: header byte + 7-bit chars; first output char is built from
+        # header bits, so prepend a dummy char position
+        bits = []
+        hdr_byte = (0 << 6) | (len(text) << 1)
+        stream_bytes = bytearray()
+        allchars = "\x00" + text  # char 0 overlaps the header byte
+        bitstr = ""
+        for c in allchars:
+            bitstr += format(ord(c), "07b")
+        bitstr = format(hdr_byte, "08b")[:1] + bitstr  # keep MSB of header
+        # simpler: build the 28-byte field directly via the inverse of
+        # convert7BitData: res[k] bits packed MSB-first 7 bits each
+        packed = bytearray(28)
+        full = "".join(format(ord(c), "07b") for c in allchars)
+        full = full.ljust(28 * 8, "0")
+        for i in range(28 * 8):
+            if full[i] == "1":
+                packed[i // 8] |= 1 << (7 - i % 8)
+        packed[0] = hdr_byte  # header byte occupies byte 0 entirely
+        lcs = [make_lc_bytes(LC_TALKER_ALIAS_HDR + b, bytes(packed[b*7:b*7+7]))
+               for b in range(3)]
+        frames = []
+        for lc in lcs:
+            frames += [data_frame(s % 2, 1, lc) for s in range(2)]
+        stream = np.concatenate(frames)
+        compare("dmr", make_decoder, stream, tmp_path)
+
+    def test_utf16_alias(self, tmp_path):
+        from digiham_tpu.protocols.dmr import make_decoder
+        text = "UTF16A"
+        enc = text.encode("utf-16-be")
+        hdr = bytes([(3 << 6) | (len(text) << 1)]) + enc[:6]
+        blk1 = enc[6:12].ljust(7, b"\x00")
+        lcs = [make_lc_bytes(LC_TALKER_ALIAS_HDR, hdr[:7]),
+               make_lc_bytes(LC_TALKER_ALIAS_HDR + 1, blk1)]
+        frames = []
+        for lc in lcs:
+            frames += [data_frame(s % 2, 1, lc) for s in range(2)]
+        stream = np.concatenate(frames)
+        compare("dmr", make_decoder, stream, tmp_path)
+
+
+class TestPocsagLimitsGolden:
+    def test_long_message_truncation(self, tmp_path):
+        """A message beyond MAX_MESSAGE_LENGTH exercises the pos+20
+        boundary (message.cpp:28)."""
+        from digiham_tpu.protocols.pocsag import make_decoder
+        from test_pocsag import (IDLE_CODEWORD, address_codeword,
+                                 alpha_payloads, build_stream, data_codeword)
+        text = "X" * 120  # 120*7 bits > 80*7 limit
+        cws = [address_codeword(7, 3)]
+        cws.extend(data_codeword(p) for p in alpha_payloads(text))
+        cws.append(IDLE_CODEWORD)
+        stream = build_stream(cws)
+        compare("pocsag", make_decoder, stream, tmp_path)
+
+
 class TestYsfModesGolden:
     def _frame_with_fich(self, data_type, payload_dibits):
         from ysf_synth import make_fich_word
