@@ -189,3 +189,33 @@ class TestDstarTextGolden:
         sentence = b"$$CRC%04X," % crc + dprs_body
         stream = self._slow_data_stream(sentence)
         compare("dstar", make_decoder, stream, tmp_path)
+
+
+class TestDstarInlineHeaderGolden:
+    def test_inline_header_via_slow_data(self, tmp_path):
+        """Mini-header 0x5: a 41-byte radio header re-assembled from slow
+        data and re-parsed (dstar_phase.cpp:165-176 + header reparse)."""
+        from digiham_tpu.protocols.dstar import make_decoder
+        from digiham_tpu.fec.crc import crc16_dstar
+        from test_dstar import full_voice_stream, make_header_bytes
+        hdr39 = make_header_bytes(own="N0CALL", suffix="ID")
+        bits = np.unpackbits(np.frombuffer(hdr39, np.uint8),
+                             bitorder="little")
+        crc = int(crc16_dstar(len(bits)).compute_np(bits))
+        hdr41 = hdr39 + bytes([crc & 0xFF, (crc >> 8) & 0xFF])
+        frames = {}
+        fc = 0
+        for i in range(0, 41, 5):
+            if fc >= 20:
+                break
+            chunk = hdr41[i:i + 5]
+            frames[fc] = (bytes([0x50 | len(chunk)])
+                          + chunk[:2]).ljust(3, b"\x00")
+            frames[fc + 1] = (chunk[2:] + b"\x00" * 3)[:3]
+            fc += 2
+        # 41 bytes need 9 chunks = 18 frames; fits in one 20-frame cycle
+        stream = np.concatenate(
+            full_voice_stream(24, message_frames=frames)
+            + [np.zeros(250, np.uint8)])
+        out = compare("dstar", make_decoder, stream, tmp_path)
+        assert len(out) > 0
