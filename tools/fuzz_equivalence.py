@@ -27,7 +27,10 @@ def run_reference(protocol, symbols):
         return p.stdout, f.read()
 
 
-def run_ours(protocol, symbols):
+def run_ours(protocol, symbols, chunker=None):
+    """chunker: optional rng; feeds the decoder in random-size chunks to
+    exercise the streaming carry logic (the reference is fed all at once
+    — outputs must be identical either way)."""
     from digiham_tpu.runtime.meta import PipelineMetaWriter
     makers = {
         "dmr": "digiham_tpu.protocols.dmr",
@@ -41,7 +44,17 @@ def run_ours(protocol, symbols):
     events = []
     dec = mod.make_decoder()
     dec.set_meta_writer(PipelineMetaWriter(lambda b: events.append(b.decode())))
-    out = dec.process(symbols.astype(np.uint8))
+    symbols = symbols.astype(np.uint8)
+    if chunker is None:
+        out = dec.process(symbols)
+    else:
+        parts = []
+        pos = 0
+        while pos < len(symbols):
+            n = int(chunker.integers(1, 2000))
+            parts.append(dec.process(symbols[pos:pos + n]))
+            pos += n
+        out = b"".join(parts)
     return out, "".join(events)
 
 
@@ -124,7 +137,9 @@ def main():
                             0, nsym[protocol], int(idx.sum()))
                 total += 1
                 ref = run_reference(protocol, stream)
-                ours = run_ours(protocol, stream)
+                chunker = (np.random.default_rng(seed + 1) if seed % 2
+                           else None)
+                ours = run_ours(protocol, stream, chunker)
                 if ref != ours:
                     failures += 1
                     path = f"/tmp/fuzz_div_{protocol}_{seed}_{mode}.npy"
