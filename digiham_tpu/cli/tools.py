@@ -5,7 +5,7 @@ these into examples/*.sh pipelines unchanged.
 """
 from __future__ import annotations
 
-import argparse
+
 import sys
 import threading
 

@@ -12,7 +12,7 @@ front-end; batching across channels is what matters.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -20,12 +20,12 @@ mesh (tests/conftest.py forces 8 devices).
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dsp.demod import demod_init, gfsk_demod_block
 from ..dsp.rrc import WIDE_RRC, RrcDesign, RrcState, rrc_filter_block

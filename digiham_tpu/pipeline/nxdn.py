@@ -15,7 +15,7 @@ from ..fec import interleave
 from ..fec.crc import crc6_nxdn, crc12_nxdn
 from ..fec.lfsr import nxdn_scrambler
 from ..fec.viterbi import viterbi_decode
-from ..protocols.nxdn.phases import FRAME_SIZE, FRAME_SYNC, SYNC_SIZE
+from ..protocols.nxdn.phases import FRAME_SYNC, SYNC_SIZE
 
 
 @jax.jit

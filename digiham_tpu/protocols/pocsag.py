@@ -18,7 +18,7 @@ transition-for-transition.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import contextlib
 import json
 import sys
 import time
-from collections import defaultdict
+
 
 
 class StageMeter:
