@@ -152,9 +152,31 @@ class YsfPipeline:
 
 
 @jax.jit
+def decode_vd2_dch_batch(payload: jnp.ndarray):
+    """[..., 360] payload dibits -> (dch bytes [..., 10] uint8, ok).
+
+    Batched V/D2 data channel (ysf_phase.cpp:100-108 + 258-267):
+    de-interleave, Viterbi, CRC over the whitened bits, dewhiten.
+    """
+    d = payload.astype(jnp.int32)
+    dch_dibits = d[..., jnp.asarray(interleave.ysf_dch_v2())]
+    bits, _ = viterbi_decode(dch_dibits)  # [..., 100]
+    w8 = jnp.asarray([1 << (7 - i) for i in range(8)], jnp.int32)
+    by = jnp.sum(bits[..., :96].reshape(bits.shape[:-1] + (12, 8)) * w8,
+                 axis=-1)
+    checksum = (by[..., 10] << 8) | by[..., 11]
+    crc = crc16_ysf(80).compute(bits[..., :80])
+    ok = crc == checksum
+    clear = bits ^ jnp.asarray(ysf_whitening()[:100].astype(np.int32))
+    dch = jnp.sum(clear[..., :80].reshape(clear.shape[:-1] + (10, 8)) * w8,
+                  axis=-1)
+    return dch.astype(jnp.uint8), ok
+
+
+@jax.jit
 def ysf_decode_frames(frames: jnp.ndarray):
     """[..., 480] frame dibits -> field dict: sync distance, FICH word/ok,
-    V/D2 voice bytes for all 5 blocks."""
+    V/D2 voice bytes for all 5 blocks, V/D2 DCH bytes/ok."""
     d = frames.astype(jnp.int32)
     sync = d[..., :SYNC_SIZE]
     sync_dist = jax.lax.population_count(
@@ -166,9 +188,12 @@ def ysf_decode_frames(frames: jnp.ndarray):
         [payload[..., 20 + i * 72:20 + i * 72 + 52] for i in range(5)],
         axis=-2)  # [..., 5, 52]
     voice = decode_vd2_voice_batch(blocks)
+    dch, dch_ok = decode_vd2_dch_batch(payload)
     return {
         "sync_dist": sync_dist,
         "fich_data": fich_data,
         "fich_ok": fich_ok,
         "vd2_voice": voice,
+        "vd2_dch": dch,
+        "vd2_dch_ok": dch_ok,
     }

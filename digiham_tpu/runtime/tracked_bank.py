@@ -1,59 +1,134 @@
-"""TrackedChannelBank: acquisition/tracking split at scale (DMR).
+"""TrackedChannelBank: the acquisition/tracking split at scale.
 
 The plain ChannelBank runs full symbol-domain phase machines per channel.
-This bank moves the steady state onto the device: host SyncPhase hunts for
-frame lock per channel (vectorized numpy scan); once locked, the bank
+This bank moves the steady state onto the device: a host sync phase hunts
+for frame lock per channel (vectorized numpy scan); once locked, the bank
 extracts frame-aligned dibit windows for ALL locked channels, decodes
-every frame's fields in ONE batched device call
-(pipeline.dmr.dmr_decode_frames), and feeds the lightweight
-FieldsFramePhase per channel — no host FEC at all.
+every frame's fields in ONE batched device call, and feeds a lightweight
+fields-consuming frame machine per channel — no host FEC in the common
+path.
 
-Output contract: byte- and event-identical to running
-protocols.dmr.Decoder per channel (asserted by tests/test_tracked_bank.py
-on structured, corrupted, and noise streams).
+Protocol specifics live in adapters (DmrAdapter, YsfAdapter). Output
+contract: byte- and event-identical to running the per-channel
+symbol-domain Decoder (asserted by tests/test_tracked_bank*.py on
+structured, corrupted, and noise streams).
 """
 from __future__ import annotations
 
 import numpy as np
 
-from ..protocols.dmr.fields_phase import FieldsFramePhase, FrameFields
-from ..protocols.dmr.meta import MetaCollector
-from ..protocols.dmr.phases import FRAME_SIZE, SyncPhase
 from ..runtime.decoder import Output
 from .stream import SampleBuffer
 
 
-class _Channel:
-    __slots__ = ("buffer", "hunt", "frame_phase", "meta", "out")
+class DmrAdapter:
+    frame_size = 144
 
-    def __init__(self):
+    def make_hunt(self):
+        from ..protocols.dmr.phases import SyncPhase
+        return SyncPhase()
+
+    def make_meta(self):
+        from ..protocols.dmr.meta import MetaCollector
+        return MetaCollector()
+
+    def make_tracker(self, meta, slot_filter: int):
+        from ..protocols.dmr.fields_phase import FieldsFramePhase
+        t = FieldsFramePhase(meta)
+        t.set_slot_filter(slot_filter)
+        return t
+
+    def decode_fields(self, frames: np.ndarray, jnp):
+        from ..pipeline.dmr import dmr_decode_frames
+        fields = dmr_decode_frames(jnp.asarray(frames))
+        return {k: np.asarray(v) for k, v in fields.items()}
+
+    def field_row(self, host: dict, row: int):
+        from ..protocols.dmr.fields_phase import FrameFields
+        return FrameFields(
+            tact_ok=bool(host["tact_ok"][row]),
+            tact_slot=int(host["tact_slot"][row]),
+            sync_type=int(host["sync_type"][row]),
+            emb_ok=bool(host["emb_ok"][row]),
+            emb_lcss=int(host["emb_lcss"][row]),
+            emb_fragment=host["emb_fragment"][row].tobytes(),
+            voice_payload=host["voice_payload"][row].tobytes(),
+            slot_type_ok=bool(host["slot_type_ok"][row]),
+            data_type=int(host["data_type"][row]),
+            bptc_ok=bool(host["bptc_ok"][row]),
+            lc_bytes=np.packbits(
+                host["bptc_data"][row].astype(np.uint8)).tobytes(),
+        )
+
+
+class YsfAdapter:
+    frame_size = 480
+
+    def make_hunt(self):
+        from ..protocols.ysf.phases import SyncPhase
+        return SyncPhase()
+
+    def make_meta(self):
+        from ..protocols.ysf.meta import MetaCollector
+        return MetaCollector()
+
+    def make_tracker(self, meta, slot_filter: int):
+        from ..protocols.ysf.fields_phase import YsfFieldsFramePhase
+        return YsfFieldsFramePhase(meta)
+
+    def decode_fields(self, frames: np.ndarray, jnp):
+        from ..pipeline.ysf import ysf_decode_frames
+        fields = ysf_decode_frames(jnp.asarray(frames))
+        return {k: np.asarray(v) for k, v in fields.items()}
+
+    def field_row(self, host: dict, row: int):
+        from ..protocols.ysf.fields_phase import YsfFrameFields
+        return YsfFrameFields(
+            sync_dist=int(host["sync_dist"][row]),
+            fich_ok=bool(host["fich_ok"][row]),
+            fich_data=int(host["fich_data"][row]),
+            vd2_voice=[host["vd2_voice"][row, i].tobytes()
+                       for i in range(5)],
+            vd2_dch_ok=bool(host["vd2_dch_ok"][row]),
+            vd2_dch=host["vd2_dch"][row].tobytes(),
+        )
+
+
+class _Channel:
+    __slots__ = ("buffer", "hunt", "tracker", "meta", "out")
+
+    def __init__(self, adapter):
         self.buffer = np.zeros(0, np.uint8)
-        self.hunt = SyncPhase()
-        self.frame_phase: FieldsFramePhase | None = None
-        self.meta = MetaCollector()
+        self.hunt = adapter.make_hunt()
+        self.tracker = None
+        self.meta = adapter.make_meta()
         self.out = Output()
 
 
 class TrackedChannelBank:
-    """DMR bank: device pipeline -> batched field decode -> host trackers.
+    """Device pipeline -> batched field decode -> host trackers.
 
-    pipeline: DmrPipeline-compatible (its step outputs ``dibits``).
+    pipeline: pipeline class whose step outputs ``dibits``.
+    adapter: protocol adapter (default DMR).
     """
 
-    def __init__(self, pipeline, on_output=None, slot_filter: int = 3):
+    def __init__(self, pipeline, on_output=None, slot_filter: int = 3,
+                 adapter=None):
         import jax.numpy as jnp
 
+        self.adapter = adapter or DmrAdapter()
         self.pipeline = pipeline
         self.channels = pipeline.channels
         self.state = pipeline.init_state()
         self.samples = SampleBuffer(self.channels)
         self.on_output = on_output
         self.slot_filter = slot_filter
-        self.chans = [_Channel() for _ in range(self.channels)]
+        self.chans = [_Channel(self.adapter) for _ in range(self.channels)]
         sps = pipeline.sps
         self._need = pipeline.n_centuries * (100 * sps + 1) + 2
-        # fixed device batch size: every channel's worst-case frame count
-        self._max_frames = pipeline.symbols_per_block // FRAME_SIZE + 2
+        self._frame_size = self.adapter.frame_size
+        self._max_frames = (pipeline.symbols_per_block
+                            // self._frame_size + 2)
         self._batch = self.channels * self._max_frames
         self._jnp = jnp
 
@@ -81,9 +156,7 @@ class TrackedChannelBank:
                 self.state.demod.pos = self.state.demod.pos - jnp.int32(base)
 
     def push_dibits(self, dibits: np.ndarray) -> None:
-        """Symbol-domain entry (bypasses the sample pipeline): feeds the
-        tracking machinery directly; used by tests and by external
-        demodulators."""
+        """Symbol-domain entry (bypasses the sample pipeline)."""
         self._consume_dibits(np.asarray(dibits, np.uint8))
 
     # ------------------------------------------------------------------
@@ -91,8 +164,6 @@ class TrackedChannelBank:
         for c, ch in enumerate(self.chans):
             ch.buffer = np.concatenate([ch.buffer, dibits[c]])
         # alternate hunting and batched frame decoding until quiescent
-        # (a channel may lock, decode, lose lock, and re-lock within one
-        # block — the per-channel Decoder would too)
         while True:
             for ch in self.chans:
                 self._hunt(ch)
@@ -100,75 +171,67 @@ class TrackedChannelBank:
                 break
 
     def _decode_round(self) -> int:
-        from ..pipeline.dmr import dmr_decode_frames
-
-        # gather frame-aligned windows from all locked channels
-        frames = np.zeros((self._batch, FRAME_SIZE), np.uint8)
-        owners: list[tuple[int, int]] = []  # (channel, frame_index_in_buf)
+        FS = self._frame_size
+        frames = np.zeros((self._batch, FS), np.uint8)
+        owners: list[tuple[int, int]] = []
         idx = 0
         for c, ch in enumerate(self.chans):
-            if ch.frame_phase is None:
+            if ch.tracker is None:
                 continue
             n = 0
-            while len(ch.buffer) - n * FRAME_SIZE > FRAME_SIZE \
-                    and idx + 1 <= self._batch:
-                frames[idx] = ch.buffer[n * FRAME_SIZE:(n + 1) * FRAME_SIZE]
+            while len(ch.buffer) - n * FS > FS and idx + 1 <= self._batch:
+                frames[idx] = ch.buffer[n * FS:(n + 1) * FS]
                 owners.append((c, n))
                 idx += 1
                 n += 1
         if not idx:
             return 0
 
-        fields = dmr_decode_frames(self._jnp.asarray(frames))
-        host = {k: np.asarray(v) for k, v in fields.items()}
+        host = self.adapter.decode_fields(frames, self._jnp)
 
-        # feed per channel, in order; stop a channel at lock loss
         fed = 0
-        per_chan: dict[int, list[int]] = {}
+        per_chan: dict[int, list[tuple[int, int]]] = {}
         for row, (c, n) in enumerate(owners):
-            per_chan.setdefault(c, []).append(row)
+            per_chan.setdefault(c, []).append((row, n))
         for c, rows in per_chan.items():
             ch = self.chans[c]
             consumed_frames = 0
-            for row in rows:
-                f = FrameFields(
-                    tact_ok=bool(host["tact_ok"][row]),
-                    tact_slot=int(host["tact_slot"][row]),
-                    sync_type=int(host["sync_type"][row]),
-                    emb_ok=bool(host["emb_ok"][row]),
-                    emb_lcss=int(host["emb_lcss"][row]),
-                    emb_fragment=host["emb_fragment"][row].tobytes(),
-                    voice_payload=host["voice_payload"][row].tobytes(),
-                    slot_type_ok=bool(host["slot_type_ok"][row]),
-                    data_type=int(host["data_type"][row]),
-                    bptc_ok=bool(host["bptc_ok"][row]),
-                    lc_bytes=np.packbits(
-                        host["bptc_data"][row].astype(np.uint8)).tobytes(),
-                )
-                voice, lost = ch.frame_phase.process_fields(f)
+            for row, n in rows:
+                f = self.adapter.field_row(host, row)
+                raw = ch.buffer[n * FS:(n + 1) * FS]
+                voice, lost = ch.tracker.process_fields(f, raw) \
+                    if _takes_raw(ch.tracker) \
+                    else ch.tracker.process_fields(f)
                 if voice and self.on_output is not None:
                     self.on_output(c, voice)
                 fed += 1
                 if lost:
-                    # drop back to hunting from this frame's start
-                    ch.frame_phase = None
-                    ch.hunt = SyncPhase()
+                    ch.tracker = None
+                    ch.hunt = self.adapter.make_hunt()
                     break
                 consumed_frames += 1
-            ch.buffer = ch.buffer[consumed_frames * FRAME_SIZE:]
+            ch.buffer = ch.buffer[consumed_frames * FS:]
         return fed
 
     def _hunt(self, ch: _Channel) -> None:
-        """Run the host SyncPhase over the channel's buffer until lock or
-        exhaustion (same semantics as the per-channel Decoder driver)."""
-        while ch.frame_phase is None \
+        while ch.tracker is None \
                 and len(ch.buffer) > ch.hunt.required_data():
             nxt, consumed = ch.hunt.process(ch.buffer, ch.out)
             ch.buffer = ch.buffer[consumed:]
             if nxt is not None:
-                # locked: frame starts at current buffer front
-                ch.frame_phase = FieldsFramePhase(ch.meta)
-                ch.frame_phase.set_slot_filter(self.slot_filter)
+                ch.tracker = self.adapter.make_tracker(
+                    ch.meta, self.slot_filter)
                 return
             if consumed == 0:
                 return
+
+
+def _takes_raw(tracker) -> bool:
+    import inspect
+
+    sig = getattr(tracker, "_takes_raw", None)
+    if sig is None:
+        params = inspect.signature(tracker.process_fields).parameters
+        sig = len(params) >= 2
+        tracker._takes_raw = sig
+    return sig
