@@ -114,6 +114,57 @@ def decode_sacch_batch(sacch_dibits: jnp.ndarray):
 
 
 @jax.jit
+def nxdn_decode_frames(frames: jnp.ndarray):
+    """[..., 192] frame dibits -> field dict for the tracked bank:
+    sync distance, LICH byte/ok, SACCH unit, per-slot packed voice bytes
+    and FACCH1 message type/ok (both slots decoded; the host steal-flag
+    logic picks which to use)."""
+    d = frames.astype(jnp.int32)
+    sync_dist = jax.lax.population_count(
+        d[..., :SYNC_SIZE] ^ jnp.asarray(FRAME_SYNC, jnp.int32)).sum(-1)
+
+    # LICH (lich.cpp:5-30): descramble 8 dibits at offset 0, take high
+    # bits, parity over the top 4
+    lich_d = _descramble(d[..., 10:18], 0)
+    lich_bits = (lich_d >> 1) & 1
+    check = lich_bits[..., :4].sum(-1) & 1
+    lich_ok = lich_bits[..., 7] == check
+    w7 = jnp.asarray([1 << (6 - i) for i in range(7)], jnp.int32)
+    lich_byte = jnp.sum(lich_bits[..., :7] * w7, axis=-1)
+
+    sacch_structure, sacch_bits, sacch_ok = decode_sacch_batch(
+        d[..., 18:48])
+
+    voice = []
+    facch_mtype = []
+    facch_ok = []
+    w8 = jnp.asarray(
+        [1 << (6 - 2 * (k % 4)) for k in range(4)], jnp.int32)
+    for i in range(2):
+        slot = _descramble(d[..., 48 + 72 * i:120 + 72 * i], 38 + 72 * i)
+        quads = slot.reshape(slot.shape[:-1] + (18, 4))
+        by = ((quads[..., 0] << 6) | (quads[..., 1] << 4)
+              | (quads[..., 2] << 2) | quads[..., 3])
+        voice.append(by.astype(jnp.uint8))
+        mt, ok = decode_facch1_batch(
+            d[..., 48 + 72 * i:120 + 72 * i], offset=38 + 72 * i)
+        facch_mtype.append(mt)
+        facch_ok.append(ok)
+
+    return {
+        "sync_dist": sync_dist,
+        "lich_ok": lich_ok,
+        "lich_byte": lich_byte,
+        "sacch_structure": sacch_structure,
+        "sacch_bits": sacch_bits,
+        "sacch_ok": sacch_ok,
+        "voice0": voice[0], "voice1": voice[1],
+        "facch_mtype0": facch_mtype[0], "facch_ok0": facch_ok[0],
+        "facch_mtype1": facch_mtype[1], "facch_ok1": facch_ok[1],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("offset",))
 def decode_facch1_batch(slot_dibits: jnp.ndarray, offset: int = 38):
     """[..., 72] raw slot dibits -> (message_type, ok)."""
     d = _descramble(slot_dibits.astype(jnp.int32), offset)

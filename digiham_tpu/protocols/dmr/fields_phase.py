@@ -85,7 +85,10 @@ class FieldsFramePhase:
             self.meta.with_slot(slot, fn)
 
     def process_fields(self, f: FrameFields):
-        """(dmr_phase.cpp:65-302 over field rows)"""
+        """(dmr_phase.cpp:65-302 over field rows).
+        Returns (voice_bytes, lost_lock, keep_from): on lock loss the
+        re-hunt starts ``keep_from`` dibits into the failing frame (0 for
+        DMR — the reference exits without consuming)."""
         next_slot = (self.slot ^ 1) & 0xFF
         if f.tact_ok:
             if f.tact_slot != next_slot:
@@ -109,7 +112,7 @@ class FieldsFramePhase:
             self.slot = next_slot
 
         if self.slot == -1:
-            return b"", False
+            return b"", False, 0
 
         slot = self.slot
         sync_type = f.sync_type
@@ -151,12 +154,12 @@ class FieldsFramePhase:
                     collector.reset()
             else:
                 if self._lose_sync(slot):
-                    return b"", True
+                    return b"", True, 0
         else:
             self.superframe_counter[slot] = 0
             self.emb_collectors[slot].reset()
             if self._lose_sync(slot):
-                return b"", True
+                return b"", True, 0
 
         out = b""
         if self.sync_types[slot] == SYNCTYPE_VOICE:
@@ -172,7 +175,7 @@ class FieldsFramePhase:
                 self._process_data_frame(f, slot)
             else:
                 self._meta_with_slot(slot, lambda s: s.reset())
-        return out, False
+        return out, False, 0
 
     def _lose_sync(self, slot: int) -> bool:
         self.slot_sync_count[slot] -= 1

@@ -56,7 +56,7 @@ class YsfFieldsFramePhase:
         self.expect_sub_frame = False
 
     def process_fields(self, f: YsfFrameFields, frame: np.ndarray):
-        """Returns (voice_bytes, lost_lock)."""
+        """Returns (voice_bytes, lost_lock, keep_from)."""
         out = []
         if f.sync_dist <= 3:
             self.sync_count = min(self.sync_count + 1, 12)
@@ -65,7 +65,7 @@ class YsfFieldsFramePhase:
             if self.sync_count < 0:
                 if self.meta is not None:
                     self.meta.reset()
-                return b"", True
+                return b"", True, 0
 
         fich = Fich(f.fich_data) if f.fich_ok else None
         if fich is not None:
@@ -107,7 +107,7 @@ class YsfFieldsFramePhase:
             elif ft == FRAME_TYPE_TERMINATOR_CHANNEL:
                 if self.meta is not None:
                     self.meta.reset()
-        return b"".join(out), False
+        return b"".join(out), False, 0
 
     # identical to phases.FramePhase helpers -----------------------------
     def _handle_v2_dch(self, dch: bytes, frame_number: int) -> None:

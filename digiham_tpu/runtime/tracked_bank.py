@@ -94,6 +94,44 @@ class YsfAdapter:
         )
 
 
+class NxdnAdapter:
+    frame_size = 192
+
+    def make_hunt(self):
+        from ..protocols.nxdn.phases import SyncPhase
+        return SyncPhase()
+
+    def make_meta(self):
+        from ..protocols.nxdn.meta import MetaCollector
+        return MetaCollector()
+
+    def make_tracker(self, meta, slot_filter: int):
+        from ..protocols.nxdn.fields_phase import NxdnFieldsFramePhase
+        return NxdnFieldsFramePhase(meta)
+
+    def decode_fields(self, frames: np.ndarray, jnp):
+        from ..pipeline.nxdn import nxdn_decode_frames
+        fields = nxdn_decode_frames(jnp.asarray(frames))
+        return {k: np.asarray(v) for k, v in fields.items()}
+
+    def field_row(self, host: dict, row: int):
+        from ..protocols.nxdn.fields_phase import NxdnFrameFields
+        return NxdnFrameFields(
+            sync_dist=int(host["sync_dist"][row]),
+            lich_ok=bool(host["lich_ok"][row]),
+            lich_byte=int(host["lich_byte"][row]),
+            sacch_structure=int(host["sacch_structure"][row]),
+            sacch_bits=host["sacch_bits"][row].astype(np.int64),
+            sacch_ok=bool(host["sacch_ok"][row]),
+            voice=[host["voice0"][row].tobytes(),
+                   host["voice1"][row].tobytes()],
+            facch_mtype=[int(host["facch_mtype0"][row]),
+                         int(host["facch_mtype1"][row])],
+            facch_ok=[bool(host["facch_ok0"][row]),
+                      bool(host["facch_ok1"][row])],
+        )
+
+
 class _Channel:
     __slots__ = ("buffer", "hunt", "tracker", "meta", "out")
 
@@ -199,18 +237,23 @@ class TrackedChannelBank:
             for row, n in rows:
                 f = self.adapter.field_row(host, row)
                 raw = ch.buffer[n * FS:(n + 1) * FS]
-                voice, lost = ch.tracker.process_fields(f, raw) \
+                voice, lost, keep_from = ch.tracker.process_fields(f, raw) \
                     if _takes_raw(ch.tracker) \
                     else ch.tracker.process_fields(f)
                 if voice and self.on_output is not None:
                     self.on_output(c, voice)
                 fed += 1
                 if lost:
+                    # re-hunt keep_from dibits into the failing frame
+                    # (NXDN TX_RELEASE exits mid-frame)
                     ch.tracker = None
                     ch.hunt = self.adapter.make_hunt()
+                    ch.buffer = ch.buffer[
+                        consumed_frames * FS + keep_from:]
                     break
                 consumed_frames += 1
-            ch.buffer = ch.buffer[consumed_frames * FS:]
+            else:
+                ch.buffer = ch.buffer[consumed_frames * FS:]
         return fed
 
     def _hunt(self, ch: _Channel) -> None:
