@@ -29,7 +29,9 @@ class UnixMockServer(threading.Thread):
                 msg = conn.receive_message()
                 if msg is None:
                     break
-                if isinstance(msg, proto.Request):
+                if isinstance(msg, proto.Check):
+                    conn.send_message(proto.Response(proto.STATUS_OK))
+                elif isinstance(msg, proto.Request):
                     conn.send_message(proto.Response(
                         proto.STATUS_OK,
                         framing=proto.FramingHint(9, 320)))
