@@ -44,3 +44,33 @@ def test_bank_bounded_over_many_blocks():
     assert max_pos < 16 * 1024
     # decode continued throughout despite the drift
     assert out_total[0] > 20 * 27
+
+
+def test_tracked_bank_bounded_under_drift():
+    """TrackedChannelBank (sample path) under trackable clock drift."""
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+    channels = 2
+    payload = np.tile([1, 3, 0, 2], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(40)]
+    sig = (np.repeat(LEVELS[np.concatenate(frames)], 10) * 1000
+           ).astype(np.float32)
+    keep = np.ones(len(sig), bool)
+    keep[::1500] = False
+    drifted = sig[keep]
+    stream = np.tile(drifted, 8)
+    samples = np.stack([stream, stream * 0.8])
+
+    out_total = [0]
+    pipe = DmrPipeline(channels=channels, sps=10, n_centuries=4)
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: out_total.__setitem__(
+            0, out_total[0] + len(d)))
+    max_fill = 0
+    max_buf = 0
+    for lo in range(0, samples.shape[1] - 8192, 8192):
+        bank.push(samples[:, lo:lo + 8192])
+        max_fill = max(max_fill, bank.samples.fill)
+        max_buf = max(max_buf, max(len(ch.buffer) for ch in bank.chans))
+    assert max_fill < 64 * 1024
+    assert max_buf < 16 * 1024   # dibit buffers bounded
+    assert out_total[0] > 40 * 27
