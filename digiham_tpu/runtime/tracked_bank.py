@@ -23,6 +23,18 @@ from .stream import SampleBuffer
 
 class DmrAdapter:
     frame_size = 144
+    # sync pattern window begins sync_offset symbols into a frame and
+    # spans sync_len symbols (used for device-gated hunting)
+    sync_offset = 66
+    sync_len = 24
+
+    def block_hits(self, outputs) -> np.ndarray | None:
+        """[C] bool: does the device's dense correlation see any
+        potential sync in this block? (<=3 over any of the 4 patterns)"""
+        d = outputs.get("sync_dist_dense")
+        if d is None:
+            return None
+        return (np.asarray(d) <= 3).any(axis=(1, 2))
 
     def make_hunt(self):
         from ..protocols.dmr.phases import SyncPhase
@@ -63,6 +75,14 @@ class DmrAdapter:
 
 class YsfAdapter:
     frame_size = 480
+    sync_offset = 0
+    sync_len = 20
+
+    def block_hits(self, outputs) -> np.ndarray | None:
+        d = outputs.get("sync_dist_dense")
+        if d is None:
+            return None
+        return (np.asarray(d) <= 3).any(axis=1)
 
     def make_hunt(self):
         from ..protocols.ysf.phases import SyncPhase
@@ -96,6 +116,14 @@ class YsfAdapter:
 
 class NxdnAdapter:
     frame_size = 192
+    sync_offset = 0
+    sync_len = 10
+
+    def block_hits(self, outputs) -> np.ndarray | None:
+        d = outputs.get("sync_dist_dense")
+        if d is None:
+            return None
+        return (np.asarray(d) <= 2).any(axis=1)
 
     def make_hunt(self):
         from ..protocols.nxdn.phases import SyncPhase
@@ -186,7 +214,9 @@ class TrackedChannelBank:
             block = self.samples.view(need)
             out, self.state = self.pipeline.step(jnp.asarray(block),
                                                  self.state)
-            self._consume_dibits(np.asarray(out["dibits"]))
+            hits = self.adapter.block_hits(out) \
+                if hasattr(self.adapter, "block_hits") else None
+            self._consume_dibits(np.asarray(out["dibits"]), hits)
             new_pos = np.asarray(self.state.demod.pos)
             base = int(new_pos.min())
             if base > 0:
@@ -198,15 +228,51 @@ class TrackedChannelBank:
         self._consume_dibits(np.asarray(dibits, np.uint8))
 
     # ------------------------------------------------------------------
-    def _consume_dibits(self, dibits: np.ndarray) -> None:
+    def _consume_dibits(self, dibits: np.ndarray,
+                        block_hits: np.ndarray | None = None) -> None:
         for c, ch in enumerate(self.chans):
+            old_len = len(ch.buffer)
             ch.buffer = np.concatenate([ch.buffer, dibits[c]])
+            if (block_hits is not None and ch.tracker is None
+                    and not block_hits[c]):
+                self._fast_skip(ch, old_len)
         # alternate hunting and batched frame decoding until quiescent
         while True:
             for ch in self.chans:
                 self._hunt(ch)
             if self._decode_round() == 0:
                 break
+
+    def _fast_skip(self, ch: _Channel, old_len: int) -> None:
+        """Device-gated hunting: the dense sync correlation saw no hit
+        anywhere inside the appended block, so the only unscanned
+        candidate offsets are those whose pattern window starts in the
+        old carry region (it straddles the block boundary). Scan just
+        those, then drop everything but the lookahead tail — identical
+        outcome to a full numpy hunt at ~1/30th the cost, which makes
+        idle channels nearly free at large bank sizes."""
+        so = getattr(self.adapter, "sync_offset", 0)
+        req = ch.hunt.required_data()
+        # buffer offsets whose pattern window starts before the new block
+        boundary = max(0, old_len - so)
+        scanned = 0
+        while (ch.tracker is None and scanned < boundary
+               and len(ch.buffer) - scanned > req):
+            nxt, consumed = ch.hunt.process(
+                ch.buffer[scanned:scanned + boundary - scanned + req],
+                ch.out)
+            scanned += consumed
+            if nxt is not None:
+                ch.tracker = self.adapter.make_tracker(
+                    ch.meta, self.slot_filter)
+                break
+            if consumed == 0:
+                break
+        if ch.tracker is None:
+            drop = max(scanned, len(ch.buffer) - req)
+            ch.buffer = ch.buffer[drop:]
+        else:
+            ch.buffer = ch.buffer[scanned:]
 
     def _decode_round(self) -> int:
         FS = self._frame_size

@@ -116,3 +116,69 @@ def test_full_sample_path_smoke():
     from digiham_tpu.protocols.dmr.phases import pack_dibits
     for c in range(4):
         assert pack_dibits(payload) in outputs[c]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_equivalence_with_device_gated_hunting(seed):
+    """The device-gated fast hunt path (_fast_skip) must not change any
+    output: feed block_hits computed from the dense correlation."""
+    from digiham_tpu.pipeline.dmr import dmr_sync_correlate
+    import jax.numpy as jnp
+
+    streams = make_streams(seed)
+    C = streams.shape[0]
+    pipe = DmrPipeline(channels=C, sps=10, n_centuries=2)
+    outputs = {c: b"" for c in range(C)}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d))
+    metas = []
+    for c in range(C):
+        events = []
+        bank.set_meta_writer(c, PipelineMetaWriter(
+            lambda b, ev=events: ev.append(b.decode())))
+        metas.append(events)
+    chunk = 800
+    for lo in range(0, streams.shape[1], chunk):
+        blk = streams[:, lo:lo + chunk]
+        if blk.shape[1] > 24:
+            dist = np.asarray(dmr_sync_correlate(jnp.asarray(blk)))
+            hits = (dist <= 3).any(axis=(1, 2))
+        else:
+            hits = np.ones(C, bool)
+        bank._consume_dibits(blk.astype(np.uint8), hits)
+    ref_out, ref_meta = reference_path(streams)
+    for c in range(C):
+        assert outputs[c] == ref_out[c], f"ch{c} payload diverges"
+        assert "".join(metas[c]) == ref_meta[c], f"ch{c} metadata diverges"
+
+
+def test_gated_noise_equivalence():
+    from digiham_tpu.pipeline.dmr import dmr_sync_correlate
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(123)
+    streams = rng.integers(0, 4, (2, 16000)).astype(np.uint8)
+    pipe = DmrPipeline(channels=2, sps=10, n_centuries=2)
+    outputs = {0: b"", 1: b""}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d))
+    metas = []
+    for c in range(2):
+        events = []
+        bank.set_meta_writer(c, PipelineMetaWriter(
+            lambda b, ev=events: ev.append(b.decode())))
+        metas.append(events)
+    for lo in range(0, streams.shape[1], 977):
+        blk = streams[:, lo:lo + 977]
+        if blk.shape[1] > 24:
+            dist = np.asarray(dmr_sync_correlate(jnp.asarray(blk)))
+            hits = (dist <= 3).any(axis=(1, 2))
+        else:
+            hits = np.ones(2, bool)
+        bank._consume_dibits(blk.astype(np.uint8), hits)
+    ref_out, ref_meta = reference_path(streams)
+    for c in range(2):
+        assert outputs[c] == ref_out[c]
+        assert "".join(metas[c]) == ref_meta[c]
