@@ -14,8 +14,10 @@ import numpy as np
 
 from ..dsp.demod import DemodState, demod_init, fsk_demod_block
 from ..dsp.rrc import RrcDesign, RrcState, rrc_filter_block
-from ..protocols.dstar.phases import HEADER_SYNC, VOICE_SYNC
+from ..fec.lfsr import dstar_scrambler
+from ..protocols.dstar.phases import HEADER_SYNC, TERMINATOR, VOICE_SYNC
 from ..protocols.pocsag import SYNC_PATTERN as POCSAG_SYNC
+from ..protocols.pocsag import parse_codewords
 
 
 def bit_sync_correlate(bits: jnp.ndarray, pattern: np.ndarray):
@@ -85,3 +87,54 @@ class FskPipeline:
         for name, pattern in self.patterns.items():
             outputs[f"sync_dist_{name}"] = bit_sync_correlate(bits, pattern)
         return outputs, FskPipelineState(rrc_state, demod_state)
+
+
+@jax.jit
+def dstar_decode_frames(frames: jnp.ndarray):
+    """Batched D-Star voice-frame fields for the tracked bank.
+
+    frames: [B, 120] on-air bits — a 96-bit voice frame (72 voice + 24
+    slow-data, dstar_phase.cpp:73-90) plus a 24-bit lookahead into the
+    next frame for the full-length terminator check
+    (dstar_phase.cpp:94-101). Returns per frame: voice bytes (LSB-first
+    packed), descrambled slow-data bytes, terminator distances (full 48
+    and half 24), and the voice-sync distance of the data section.
+    """
+    b = frames.astype(jnp.int32) & 1
+    w_lsb = jnp.asarray([1 << k for k in range(8)], jnp.int32)
+    voice = jnp.sum(
+        b[..., :72].reshape(b.shape[:-1] + (9, 8)) * w_lsb, axis=-1)
+    scr = jnp.asarray(dstar_scrambler()[:24].astype(np.int32))
+    desc = b[..., 72:96] ^ scr
+    data = jnp.sum(
+        desc.reshape(desc.shape[:-1] + (3, 8)) * w_lsb, axis=-1)
+    term = jnp.asarray(TERMINATOR.astype(np.int32))
+    vsync = jnp.asarray(VOICE_SYNC.astype(np.int32))
+    return {
+        "voice": voice.astype(jnp.uint8),
+        "data": data.astype(jnp.uint8),
+        "term_full": jnp.sum(b[..., 72:120] ^ term, axis=-1),
+        "term_half": jnp.sum(b[..., 72:96] ^ term[24:], axis=-1),
+        "vsync_dist": jnp.sum(b[..., 72:96] ^ vsync, axis=-1),
+    }
+
+
+@jax.jit
+def pocsag_decode_frames(frames: jnp.ndarray):
+    """Batched POCSAG codeword fields for the tracked bank.
+
+    frames: [B, 32] bits. Every 32-bit window gets BOTH interpretations
+    computed at once — the BCH(31,21)+parity codeword decode
+    (codeword.cpp:9-31) and the sync-word distance (pocsag_phase.cpp:38)
+    — and the host frame machine picks per its counter state.
+    """
+    b = frames.astype(jnp.uint32) & 1
+    w_msb = jnp.asarray([1 << (31 - i) for i in range(32)], jnp.uint32)
+    word = jnp.sum(b * w_msb, axis=-1, dtype=jnp.uint32)
+    full, ok = parse_codewords(word)
+    sync = jnp.asarray(POCSAG_SYNC.astype(np.int32))
+    return {
+        "word": full.astype(jnp.uint32),
+        "ok": ok,
+        "sync_dist": jnp.sum(frames.astype(jnp.int32) ^ sync, axis=-1),
+    }

@@ -138,8 +138,6 @@ def nxdn_decode_frames(frames: jnp.ndarray):
     voice = []
     facch_mtype = []
     facch_ok = []
-    w8 = jnp.asarray(
-        [1 << (6 - 2 * (k % 4)) for k in range(4)], jnp.int32)
     for i in range(2):
         slot = _descramble(d[..., 48 + 72 * i:120 + 72 * i], 38 + 72 * i)
         quads = slot.reshape(slot.shape[:-1] + (18, 4))

@@ -245,6 +245,63 @@ class CodewordPhase(Phase):
         return None, CODEWORD_SIZE
 
 
+class PocsagFrameFields:
+    """Per-32-bit-window fields from ``pipeline.fsk.pocsag_decode_frames``."""
+
+    __slots__ = ("word", "ok", "sync_dist")
+
+    def __init__(self, word: int, ok: bool, sync_dist: int):
+        self.word = word
+        self.ok = ok
+        self.sync_dist = sync_dist
+
+
+class PocsagFieldsFramePhase:
+    """Tracked-bank frame machine: ``CodewordPhase.process`` on
+    precomputed fields (device BCH + sync distance), transition-for-
+    transition (pocsag_phase.cpp:33-95). Returns (payload, lost,
+    keep_from); on sync loss the re-hunt restarts at the failing window
+    (the reference consumes 0 there)."""
+
+    def __init__(self):
+        self.cw = CodewordPhase()
+
+    def process_fields(self, f: PocsagFrameFields):
+        cw = self.cw
+        out = Output()
+        if cw.codeword_counter >= CODEWORDS_PER_SYNC:
+            if f.sync_dist <= 3:
+                cw.sync_count += 1
+                if cw.sync_count > 3:
+                    cw.sync_count = 2
+            else:
+                prev = cw.sync_count
+                cw.sync_count -= 1
+                if prev < 0:
+                    cw._flush(out)
+                    return out.drain(), True, 0
+            cw.codeword_counter = 0
+            return out.drain(), False, 0
+        if not f.ok:
+            cw.current_message = None
+        else:
+            word = Codeword(int(f.word))
+            if word.is_idle():
+                cw._flush(out)
+            elif word.is_address():
+                cw._flush(out)
+                ftype = word.function_bits()
+                if ftype in (1, 3):
+                    address = (word.address() << 3) \
+                        | (cw.codeword_counter // 2)
+                    cw.current_message = Message(address, ftype)
+            else:
+                if cw.current_message is not None:
+                    cw.current_message.append(word.payload())
+        cw.codeword_counter += 1
+        return out.drain(), False, 0
+
+
 def make_decoder() -> Decoder:
     """Equivalent of Pocsag::Decoder (pocsag_decoder.cpp:6-15): messages go
     into the payload stream, no MetaCollector."""

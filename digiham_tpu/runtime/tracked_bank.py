@@ -36,7 +36,7 @@ class DmrAdapter:
             return None
         return (np.asarray(d) <= 3).any(axis=(1, 2))
 
-    def make_hunt(self):
+    def make_hunt(self, meta=None):
         from ..protocols.dmr.phases import SyncPhase
         return SyncPhase()
 
@@ -44,7 +44,7 @@ class DmrAdapter:
         from ..protocols.dmr.meta import MetaCollector
         return MetaCollector()
 
-    def make_tracker(self, meta, slot_filter: int):
+    def make_tracker(self, meta, slot_filter: int, locked=None):
         from ..protocols.dmr.fields_phase import FieldsFramePhase
         t = FieldsFramePhase(meta)
         t.set_slot_filter(slot_filter)
@@ -84,7 +84,7 @@ class YsfAdapter:
             return None
         return (np.asarray(d) <= 3).any(axis=1)
 
-    def make_hunt(self):
+    def make_hunt(self, meta=None):
         from ..protocols.ysf.phases import SyncPhase
         return SyncPhase()
 
@@ -92,7 +92,7 @@ class YsfAdapter:
         from ..protocols.ysf.meta import MetaCollector
         return MetaCollector()
 
-    def make_tracker(self, meta, slot_filter: int):
+    def make_tracker(self, meta, slot_filter: int, locked=None):
         from ..protocols.ysf.fields_phase import YsfFieldsFramePhase
         return YsfFieldsFramePhase(meta)
 
@@ -125,7 +125,7 @@ class NxdnAdapter:
             return None
         return (np.asarray(d) <= 2).any(axis=1)
 
-    def make_hunt(self):
+    def make_hunt(self, meta=None):
         from ..protocols.nxdn.phases import SyncPhase
         return SyncPhase()
 
@@ -133,7 +133,7 @@ class NxdnAdapter:
         from ..protocols.nxdn.meta import MetaCollector
         return MetaCollector()
 
-    def make_tracker(self, meta, slot_filter: int):
+    def make_tracker(self, meta, slot_filter: int, locked=None):
         from ..protocols.nxdn.fields_phase import NxdnFieldsFramePhase
         return NxdnFieldsFramePhase(meta)
 
@@ -160,14 +160,111 @@ class NxdnAdapter:
         )
 
 
+class DstarAdapter:
+    """Bit-domain tracked adapter over ``FskPipeline(protocol="dstar")``.
+
+    Frames are 96 bits (72 voice + 24 slow data) with a 24-bit lookahead
+    so the device can score the full-length terminator
+    (dstar_phase.cpp:94-101). The hunt handles sync AND the rare 660-bit
+    header decode (see DstarHuntPhase); the steady state is all batched
+    device math + O(frames) host bookkeeping.
+    """
+
+    frame_size = 96
+    lookahead = 24
+    sync_offset = 0
+    sync_len = 24
+
+    def block_hits(self, outputs) -> np.ndarray | None:
+        h = outputs.get("sync_dist_header_sync")
+        v = outputs.get("sync_dist_voice_sync")
+        if h is None or v is None:
+            return None
+        return ((np.asarray(h) <= 2).any(axis=1)
+                | (np.asarray(v) <= 1).any(axis=1))
+
+    def make_hunt(self, meta=None):
+        from ..protocols.dstar.fields_phase import DstarHuntPhase
+        return DstarHuntPhase(meta)
+
+    def make_meta(self):
+        from ..protocols.dstar.meta import MetaCollector
+        return MetaCollector()
+
+    def make_tracker(self, meta, slot_filter: int, locked=None):
+        from ..protocols.dstar.fields_phase import DstarFieldsFramePhase
+        return DstarFieldsFramePhase(meta, locked)
+
+    def decode_fields(self, frames: np.ndarray, jnp):
+        from ..pipeline.fsk import dstar_decode_frames
+        fields = dstar_decode_frames(jnp.asarray(frames))
+        return {k: np.asarray(v) for k, v in fields.items()}
+
+    def field_row(self, host: dict, row: int):
+        from ..protocols.dstar.fields_phase import DstarFrameFields
+        return DstarFrameFields(
+            voice_bytes=host["voice"][row].tobytes(),
+            data_bytes=host["data"][row].tobytes(),
+            term_full=int(host["term_full"][row]),
+            term_half=int(host["term_half"][row]),
+            vsync_dist=int(host["vsync_dist"][row]),
+        )
+
+
+class PocsagAdapter:
+    """Bit-domain tracked adapter over ``FskPipeline(protocol="pocsag")``.
+
+    Every 32-bit window is decoded both ways on the device (BCH codeword
+    + sync-word distance); the host frame machine
+    (PocsagFieldsFramePhase) picks per its position in the 16-codeword
+    batch. This removes the per-codeword host BCH — the dominant host
+    cost of the symbol path. No metadata stream (pocsag_decoder.cpp).
+    """
+
+    frame_size = 32
+    lookahead = 0
+    sync_offset = 0
+    sync_len = 32
+
+    def block_hits(self, outputs) -> np.ndarray | None:
+        d = outputs.get("sync_dist_preamble")
+        if d is None:
+            return None
+        return (np.asarray(d) <= 3).any(axis=1)
+
+    def make_hunt(self, meta=None):
+        from ..protocols.pocsag import SyncPhase
+        return SyncPhase()
+
+    def make_meta(self):
+        return None
+
+    def make_tracker(self, meta, slot_filter: int, locked=None):
+        from ..protocols.pocsag import PocsagFieldsFramePhase
+        return PocsagFieldsFramePhase()
+
+    def decode_fields(self, frames: np.ndarray, jnp):
+        from ..pipeline.fsk import pocsag_decode_frames
+        fields = pocsag_decode_frames(jnp.asarray(frames))
+        return {k: np.asarray(v) for k, v in fields.items()}
+
+    def field_row(self, host: dict, row: int):
+        from ..protocols.pocsag import PocsagFrameFields
+        return PocsagFrameFields(
+            word=int(host["word"][row]),
+            ok=bool(host["ok"][row]),
+            sync_dist=int(host["sync_dist"][row]),
+        )
+
+
 class _Channel:
     __slots__ = ("buffer", "hunt", "tracker", "meta", "out")
 
     def __init__(self, adapter):
         self.buffer = np.zeros(0, np.uint8)
-        self.hunt = adapter.make_hunt()
-        self.tracker = None
         self.meta = adapter.make_meta()
+        self.hunt = adapter.make_hunt(self.meta)
+        self.tracker = None
         self.out = Output()
 
 
@@ -193,13 +290,15 @@ class TrackedChannelBank:
         sps = pipeline.sps
         self._need = pipeline.n_centuries * (100 * sps + 1) + 2
         self._frame_size = self.adapter.frame_size
+        self._lookahead = getattr(self.adapter, "lookahead", 0)
         self._max_frames = (pipeline.symbols_per_block
                             // self._frame_size + 2)
         self._batch = self.channels * self._max_frames
         self._jnp = jnp
 
     def set_meta_writer(self, channel: int, writer) -> None:
-        self.chans[channel].meta.set_writer(writer)
+        if self.chans[channel].meta is not None:
+            self.chans[channel].meta.set_writer(writer)
 
     # ------------------------------------------------------------------
     def push(self, samples: np.ndarray) -> None:
@@ -234,7 +333,8 @@ class TrackedChannelBank:
             old_len = len(ch.buffer)
             ch.buffer = np.concatenate([ch.buffer, dibits[c]])
             if (block_hits is not None and ch.tracker is None
-                    and not block_hits[c]):
+                    and not block_hits[c]
+                    and getattr(ch.hunt, "hunting", True)):
                 self._fast_skip(ch, old_len)
         # alternate hunting and batched frame decoding until quiescent
         while True:
@@ -257,34 +357,39 @@ class TrackedChannelBank:
         boundary = max(0, old_len - so)
         scanned = 0
         while (ch.tracker is None and scanned < boundary
-               and len(ch.buffer) - scanned > req):
+               and len(ch.buffer) - scanned > req
+               and getattr(ch.hunt, "hunting", True)):
             nxt, consumed = ch.hunt.process(
-                ch.buffer[scanned:scanned + boundary - scanned + req],
-                ch.out)
+                ch.buffer[scanned:boundary + req], ch.out)
             scanned += consumed
             if nxt is not None:
                 ch.tracker = self.adapter.make_tracker(
-                    ch.meta, self.slot_filter)
+                    ch.meta, self.slot_filter, nxt)
                 break
             if consumed == 0:
                 break
-        if ch.tracker is None:
+            req = ch.hunt.required_data()
+        if ch.tracker is None and getattr(ch.hunt, "hunting", True):
             drop = max(scanned, len(ch.buffer) - req)
             ch.buffer = ch.buffer[drop:]
         else:
+            # locked, or a multi-stage hunt (e.g. a pending D-Star header
+            # decode) that must keep its exact stream position
             ch.buffer = ch.buffer[scanned:]
 
     def _decode_round(self) -> int:
         FS = self._frame_size
-        frames = np.zeros((self._batch, FS), np.uint8)
+        LA = self._lookahead
+        frames = np.zeros((self._batch, FS + LA), np.uint8)
         owners: list[tuple[int, int]] = []
         idx = 0
         for c, ch in enumerate(self.chans):
             if ch.tracker is None:
                 continue
             n = 0
-            while len(ch.buffer) - n * FS > FS and idx + 1 <= self._batch:
-                frames[idx] = ch.buffer[n * FS:(n + 1) * FS]
+            while (len(ch.buffer) - n * FS > FS + LA
+                   and idx + 1 <= self._batch):
+                frames[idx] = ch.buffer[n * FS:(n + 1) * FS + LA]
                 owners.append((c, n))
                 idx += 1
                 n += 1
@@ -313,7 +418,7 @@ class TrackedChannelBank:
                     # re-hunt keep_from dibits into the failing frame
                     # (NXDN TX_RELEASE exits mid-frame)
                     ch.tracker = None
-                    ch.hunt = self.adapter.make_hunt()
+                    ch.hunt = self.adapter.make_hunt(ch.meta)
                     ch.buffer = ch.buffer[
                         consumed_frames * FS + keep_from:]
                     break
@@ -329,7 +434,7 @@ class TrackedChannelBank:
             ch.buffer = ch.buffer[consumed:]
             if nxt is not None:
                 ch.tracker = self.adapter.make_tracker(
-                    ch.meta, self.slot_filter)
+                    ch.meta, self.slot_filter, nxt)
                 return
             if consumed == 0:
                 return
