@@ -301,6 +301,55 @@ class TrackedChannelBank:
             self.chans[channel].meta.set_writer(writer)
 
     # ------------------------------------------------------------------
+    def snapshot(self) -> bytes:
+        """Serialize the full bank state — device pytrees (demod/RRC
+        carries), pending samples, and every channel's host state (dibit
+        buffer, hunt, tracker, metadata) — for bit-exact resume via
+        ``restore``. Meta writers (user callbacks) are NOT serialized;
+        re-attach them after restoring."""
+        import pickle
+
+        writers = [ch.meta.writer if ch.meta is not None else None
+                   for ch in self.chans]
+        for ch in self.chans:
+            if ch.meta is not None:
+                ch.meta.writer = None
+        try:
+            chans_blob = pickle.dumps(self.chans)
+        finally:
+            for ch, w in zip(self.chans, writers):
+                if ch.meta is not None:
+                    ch.meta.writer = w
+        from .checkpoint import save_state
+        return pickle.dumps({
+            "pipeline_state": save_state(self.state),
+            "chans": chans_blob,
+            "samples": self.samples.data[:, :self.samples.fill].copy(),
+        })
+
+    def restore(self, blob: bytes) -> None:
+        """Inverse of ``snapshot`` on a bank built with the same pipeline
+        configuration. Writers already attached to this bank's channels
+        are carried over to the restored metadata collectors."""
+        import pickle
+
+        from .checkpoint import load_state
+        payload = pickle.loads(blob)
+        if payload["samples"].shape[0] != self.channels:
+            raise ValueError(
+                f"checkpoint has {payload['samples'].shape[0]} channels, "
+                f"bank has {self.channels}")
+        self.state = load_state(payload["pipeline_state"])
+        prev = self.chans
+        self.chans = pickle.loads(payload["chans"])
+        for new, old in zip(self.chans, prev):
+            if new.meta is not None and old.meta is not None:
+                new.meta.writer = old.meta.writer
+        self.samples = SampleBuffer(self.channels)
+        if payload["samples"].shape[1]:
+            self.samples.push(payload["samples"])
+
+    # ------------------------------------------------------------------
     def push(self, samples: np.ndarray) -> None:
         import jax.numpy as jnp
 
