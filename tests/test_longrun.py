@@ -74,3 +74,38 @@ def test_tracked_bank_bounded_under_drift():
     assert max_fill < 64 * 1024
     assert max_buf < 16 * 1024   # dibit buffers bounded
     assert out_total[0] > 40 * 27
+
+
+def test_dstar_tracked_bank_bounded_on_noise():
+    """Idle (pure-noise) D-Star channels must hold bounded dibit buffers:
+    the hunt (incl. transient header-pending states) may never accumulate
+    more than its lookahead plus one header span."""
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import (DstarAdapter,
+                                                  TrackedChannelBank)
+    rng = np.random.default_rng(3)
+    samples = rng.normal(0, 400, (2, 600_000)).astype(np.float32)
+    pipe = FskPipeline(channels=2, protocol="dstar", n_centuries=4)
+    bank = TrackedChannelBank(pipe, adapter=DstarAdapter())
+    max_buf = 0
+    for lo in range(0, samples.shape[1] - 8192, 8192):
+        bank.push(samples[:, lo:lo + 8192])
+        max_buf = max(max_buf, max(len(ch.buffer) for ch in bank.chans))
+    assert max_buf < 4 * 1024
+    assert bank.samples.fill < 64 * 1024
+
+
+def test_pocsag_tracked_bank_bounded_on_noise():
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import (PocsagAdapter,
+                                                  TrackedChannelBank)
+    rng = np.random.default_rng(4)
+    samples = rng.normal(0, 400, (2, 1_200_000)).astype(np.float32)
+    pipe = FskPipeline(channels=2, protocol="pocsag", n_centuries=4)
+    bank = TrackedChannelBank(pipe, adapter=PocsagAdapter())
+    max_buf = 0
+    for lo in range(0, samples.shape[1] - 16384, 16384):
+        bank.push(samples[:, lo:lo + 16384])
+        max_buf = max(max_buf, max(len(ch.buffer) for ch in bank.chans))
+    assert max_buf < 4 * 1024
+    assert bank.samples.fill < 128 * 1024
