@@ -2,4 +2,5 @@ from .sharded import (
     make_mesh,
     sharded_rrc_filter,
     sharded_pipeline_step,
+    sharded_fsk_step,
 )

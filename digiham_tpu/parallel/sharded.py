@@ -136,3 +136,65 @@ def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray,
         out_specs=(P("channel", "time", None), P("channel")),
     )
     return jax.jit(f)(samples)
+
+
+def sharded_fsk_step(mesh: Mesh, samples: jnp.ndarray,
+                     protocol: str = "dstar",
+                     n_centuries: int = 2):
+    """Multi-chip step for the bit-domain (2FSK) protocols.
+
+    Same axis roles as ``sharded_pipeline_step`` — channel-DP everywhere,
+    time-SP in bulk/recorded mode with a psum over the time axis for the
+    per-channel sync statistics — but no RRC stage (D-Star/POCSAG front
+    ends feed the slicer directly, src/fsk_demodulator/).
+
+    protocol "dstar": 10 sps; returns per-96-bit-frame voice bytes
+    [C, F, 9] (LSB-first packed, dstar_phase.cpp:76-86) and psum'd
+    voice/header-sync hit counts [C].
+    protocol "pocsag": 40 sps inverted; returns per-32-bit-window BCH
+    ok flags [C, W] and psum'd preamble hit counts [C].
+    """
+    from ..dsp.demod import fsk_demod_block
+    from ..pipeline.fsk import (bit_sync_correlate, dstar_decode_frames,
+                                pocsag_decode_frames)
+    from ..protocols.dstar.phases import HEADER_SYNC, VOICE_SYNC
+    from ..protocols.pocsag import SYNC_PATTERN
+    if protocol == "dstar":
+        sps, invert = 10, False
+    elif protocol == "pocsag":
+        sps, invert = 40, True
+    else:
+        raise ValueError(
+            f"unknown 2FSK protocol {protocol!r} (dstar or pocsag)")
+
+    def local(x):
+        state0 = jax.tree.map(
+            lambda a: jax.lax.pvary(a, ("channel", "time")),
+            demod_init(x.shape[0]))
+        bits, _ = fsk_demod_block(x, state0, n_centuries, sps, invert)
+        if protocol == "dstar":
+            hits = jnp.sum(
+                (bit_sync_correlate(bits, HEADER_SYNC) <= 2)
+                | (bit_sync_correlate(bits, VOICE_SYNC) <= 1), axis=-1)
+            n = (bits.shape[1] - 24) // 96
+            windows = jnp.stack(
+                [bits[:, i * 96:i * 96 + 120] for i in range(n)], axis=1)
+            fields = dstar_decode_frames(windows)
+            out = fields["voice"]
+        else:
+            hits = jnp.sum(
+                bit_sync_correlate(bits, SYNC_PATTERN) <= 3, axis=-1)
+            n = bits.shape[1] // 32
+            fields = pocsag_decode_frames(
+                bits[:, :n * 32].reshape(bits.shape[0], n, 32))
+            out = fields["ok"]
+        return out, jax.lax.psum(hits, "time")
+
+    out_spec = (P("channel", "time", None) if protocol == "dstar"
+                else P("channel", "time"))
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("channel", "time"),
+        out_specs=(out_spec, P("channel")),
+    )
+    return jax.jit(f)(samples)
