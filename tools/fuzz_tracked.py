@@ -1,0 +1,189 @@
+"""Tracked-bank equivalence fuzzing against the compiled reference.
+
+Random structured/corrupted D-Star and POCSAG bit streams are decoded by
+(a) the reference binary (tests/ref_harness) and (b) the
+TrackedChannelBank adapters on the device-gated hunting path, with the
+per-block gate computed exactly like the production pipelines (dense
+sync correlation + the adapter's thresholds, here via numpy popcount so
+the campaign doesn't pay a jit recompile per ragged chunk width).
+Payloads — and for D-Star, metadata event streams — must match
+byte-for-byte. Divergent streams are dumped to /tmp/fuzz_tracked_div_*.
+
+Usage: python tools/fuzz_tracked.py [n_cases] [seed0]
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, ".")
+
+# host-side campaign: pin jax to CPU (the environment's TPU plugin can
+# override the JAX_PLATFORMS env var, so set the config explicitly)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+HARNESS = os.path.join("tests", "ref_harness", "ref_harness")
+
+
+def np_sync_dist(bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
+    """[C, T] bits -> [C, T-len+1] hamming distances (numpy sliding)."""
+    w = np.lib.stride_tricks.sliding_window_view(bits, len(pattern),
+                                                 axis=-1)
+    return (w ^ pattern).sum(-1)
+
+
+def run_reference(protocol, bits):
+    meta = f"/tmp/fuzz_tracked_meta_{os.getpid()}.txt"
+    p = subprocess.run([HARNESS, protocol, meta],
+                       input=bits.astype(np.uint8).tobytes(),
+                       capture_output=True, timeout=120)
+    assert p.returncode == 0, p.stderr[-300:]
+    with open(meta, encoding="utf-8", errors="surrogateescape") as f:
+        return p.stdout, f.read()
+
+
+def run_tracked(protocol, bits, chunk, rng):
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.meta import PipelineMetaWriter
+    from digiham_tpu.runtime.tracked_bank import (DstarAdapter,
+                                                  PocsagAdapter,
+                                                  TrackedChannelBank)
+
+    if protocol == "dstar":
+        from digiham_tpu.protocols.dstar.phases import (HEADER_SYNC,
+                                                        VOICE_SYNC)
+        adapter = DstarAdapter()
+        gates = [("sync_dist_header_sync", HEADER_SYNC),
+                 ("sync_dist_voice_sync", VOICE_SYNC)]
+    else:
+        from digiham_tpu.protocols.pocsag import SYNC_PATTERN
+        adapter = PocsagAdapter()
+        gates = [("sync_dist_preamble", SYNC_PATTERN)]
+
+    pipe = FskPipeline(channels=1, protocol=protocol, n_centuries=2)
+    out = {0: b""}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: out.__setitem__(0, out[0] + d),
+        adapter=adapter)
+    events = []
+    bank.set_meta_writer(0, PipelineMetaWriter(
+        lambda b: events.append(b.decode("utf-8", "surrogateescape"))))
+    streams = bits[None, :]
+    for lo in range(0, streams.shape[1], chunk):
+        blk = streams[:, lo:lo + chunk].astype(np.uint8)
+        if blk.shape[1] > 40:
+            hits = adapter.block_hits(
+                {name: np_sync_dist(blk, pat) for name, pat in gates})
+            bank._consume_dibits(blk, hits)
+        else:
+            bank.push_dibits(blk)
+    return out[0], "".join(events)
+
+
+def synth_dstar(rng):
+    from test_dstar import (bit_sync_preamble, full_voice_stream,
+                            make_header_bytes, voice_frame)
+
+    from digiham_tpu.protocols.dstar.header import encode_header
+    from digiham_tpu.protocols.dstar.phases import (HEADER_SYNC,
+                                                    TERMINATOR,
+                                                    VOICE_SYNC)
+
+    parts = [rng.integers(0, 2, int(rng.integers(30, 500)))]
+    for _ in range(int(rng.integers(1, 4))):
+        mode = rng.integers(0, 4)
+        if mode == 0:
+            parts += full_voice_stream(int(rng.integers(3, 50)))
+        elif mode == 1:
+            parts += [bit_sync_preamble(), VOICE_SYNC]
+            parts += [voice_frame(raw_data24=VOICE_SYNC) if i % 21 == 20
+                      else voice_frame(
+                          voice9=rng.integers(0, 256, 9)
+                          .astype(np.uint8).tobytes(),
+                          data3=rng.integers(0, 256, 3)
+                          .astype(np.uint8).tobytes())
+                      for i in range(int(rng.integers(3, 45)))]
+        elif mode == 2:
+            parts += [bit_sync_preamble(), HEADER_SYNC,
+                      encode_header(make_header_bytes(
+                          voice=bool(rng.integers(0, 2))))]
+        else:
+            parts += full_voice_stream(int(rng.integers(3, 12)))
+            parts.append(np.concatenate([
+                np.unpackbits(rng.integers(0, 256, 9).astype(np.uint8),
+                              bitorder="little"), TERMINATOR]))
+        parts.append(rng.integers(0, 2, int(rng.integers(20, 300))))
+    return np.concatenate([np.asarray(p, np.uint8) for p in parts])
+
+
+def synth_pocsag(rng):
+    from test_pocsag import (address_codeword, alpha_payloads,
+                             build_stream, data_codeword)
+
+    from digiham_tpu.protocols import pocsag
+
+    parts = [rng.integers(0, 2, int(rng.integers(30, 400)))]
+    for _ in range(int(rng.integers(1, 4))):
+        cws = []
+        for _ in range(int(rng.integers(1, 20))):
+            k = rng.integers(0, 4)
+            if k == 0:
+                cws.append(address_codeword(int(rng.integers(0, 1 << 18)),
+                                            int(rng.integers(0, 4))))
+            elif k == 1:
+                cws.append(data_codeword(int(rng.integers(0, 1 << 20))))
+            elif k == 2:
+                cws.append(pocsag.IDLE_CODEWORD)
+            else:
+                text = "".join(chr(32 + int(x)) for x in
+                               rng.integers(0, 95, int(rng.integers(1, 30))))
+                cws += [data_codeword(p) for p in alpha_payloads(text)]
+        parts.append(build_stream(
+            cws, preamble_bits=int(rng.integers(1, 4)) * 32))
+        parts.append(rng.integers(0, 2, int(rng.integers(10, 200))))
+    return np.concatenate([np.asarray(p, np.uint8) for p in parts])
+
+
+def corrupt(rng, bits):
+    r = rng.random()
+    bits = bits.copy()
+    if r < 0.45:
+        idx = rng.random(len(bits)) < rng.uniform(0.001, 0.03)
+        bits[idx] ^= 1
+    elif r < 0.6:
+        cut = rng.integers(0, len(bits), 2)
+        bits = np.delete(bits, np.arange(
+            min(cut), min(max(cut), min(cut) + 500)))
+    return bits
+
+
+def main(n_cases=200, seed0=0):
+    bad = 0
+    for i in range(n_cases):
+        rng = np.random.default_rng(seed0 + i)
+        proto = "dstar" if i % 2 == 0 else "pocsag"
+        bits = corrupt(rng, synth_dstar(rng) if proto == "dstar"
+                       else synth_pocsag(rng))
+        chunk = int(rng.integers(97, 4096))
+        got, meta = run_tracked(proto, bits, chunk, rng)
+        ref, ref_meta = run_reference(proto, bits)
+        if got != ref or (proto == "dstar" and meta != ref_meta):
+            bad += 1
+            np.save(f"/tmp/fuzz_tracked_div_{proto}_{seed0 + i}.npy", bits)
+            print(f"DIVERGENCE {proto} seed={seed0 + i} chunk={chunk} "
+                  f"got={len(got)} ref={len(ref)} "
+                  f"meta_eq={meta == ref_meta}")
+        if (i + 1) % 100 == 0:
+            print(f"{i + 1}/{n_cases} cases, {bad} divergences",
+                  flush=True)
+    print(f"DONE {n_cases} cases, {bad} divergences")
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(*(int(a) for a in sys.argv[1:3])) else 0)
