@@ -80,3 +80,42 @@ class TestDmrVoicePath:
         pcm = wait_pcm(synth, shipped * 18)
         assert len(pcm) == shipped * 18
         synth.close()
+
+
+class TestTrackedBankVoicePath:
+    def test_samples_to_pcm_production_topology(self):
+        """The full production chain: RF samples -> TrackedChannelBank
+        (device pipeline + batched field decode) -> voice bytes ->
+        MbeSynthesizer (table 33) -> PCM -> digitalvoice filter."""
+        from digiham_tpu.pipeline import DmrPipeline
+        from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+
+        levels = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+        payload = np.tile([1, 3, 0, 2], 27)
+        frames = [voice_frame(s % 2, payload, sync=True)
+                  for s in range(16)]
+        # the demod (2 centuries) and framer (1-frame lookahead) hold a
+        # tail of ~3 frames until more samples arrive — push 16 to get 8+
+        dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
+        samples = np.stack(
+            [(np.repeat(levels[dibits], 10) * 1000).astype(np.float32)] * 2)
+
+        server = MockCodecServer()
+        server.start()
+        synth = MbeSynthesizer(server.client_sock)
+        synth.set_mode(TableMode(33))
+        shipped = [0]
+        pipe = DmrPipeline(channels=2, sps=10, n_centuries=2)
+        bank = TrackedChannelBank(
+            pipe, on_output=lambda c, d: shipped.__setitem__(
+                0, shipped[0] + (synth.process(d) if c == 0 else 0)))
+        for lo in range(0, samples.shape[1], 4096):
+            bank.push(samples[:, lo:lo + 4096])
+        assert shipped[0] >= 8 * 3  # >=8 bursts x 3 AMBE frames
+        pcm = wait_pcm(synth, shipped[0] * 18)
+        assert len(pcm) == shipped[0] * 18
+        out, _ = digitalvoice_filter(
+            jnp.asarray(np.frombuffer(pcm, np.int16))[None, :],
+            DigitalVoiceState.init(1))
+        assert np.asarray(out).shape[1] == len(pcm) // 2
+        synth.close()
