@@ -30,11 +30,18 @@ jax.config.update("jax_platforms", "cpu")
 HARNESS = os.path.join("tests", "ref_harness", "ref_harness")
 
 
-def np_sync_dist(bits: np.ndarray, pattern: np.ndarray) -> np.ndarray:
-    """[C, T] bits -> [C, T-len+1] hamming distances (numpy sliding)."""
-    w = np.lib.stride_tricks.sliding_window_view(bits, len(pattern),
+_POP4 = np.array([0, 1, 1, 2])  # popcount of a dibit XOR
+
+
+def np_sync_dist(symbols: np.ndarray, pattern: np.ndarray,
+                 dibits: bool = False) -> np.ndarray:
+    """[C, T] symbols -> [C, T-len+1] hamming distances (numpy sliding).
+    For dibit protocols the distance is popcount-of-XOR per symbol
+    (src/lib/hamming_distance.c semantics), not the XOR sum."""
+    w = np.lib.stride_tricks.sliding_window_view(symbols, len(pattern),
                                                  axis=-1)
-    return (w ^ pattern).sum(-1)
+    x = w ^ pattern
+    return (_POP4[x] if dibits else x).sum(-1)
 
 
 def run_reference(protocol, bits):
@@ -47,25 +54,59 @@ def run_reference(protocol, bits):
         return p.stdout, f.read()
 
 
-def run_tracked(protocol, bits, chunk, rng):
-    from digiham_tpu.pipeline import FskPipeline
-    from digiham_tpu.runtime.meta import PipelineMetaWriter
-    from digiham_tpu.runtime.tracked_bank import (DstarAdapter,
-                                                  PocsagAdapter,
-                                                  TrackedChannelBank)
+def _setup(protocol):
+    """-> (pipeline, adapter, gate_fn) for one channel; gate_fn maps a
+    [1, T] symbol block to the same outputs-dict the device pipeline
+    would feed adapter.block_hits."""
+    from digiham_tpu.pipeline import (DmrPipeline, FskPipeline,
+                                      NxdnPipeline, YsfPipeline)
+    from digiham_tpu.runtime import tracked_bank as tb
 
     if protocol == "dstar":
         from digiham_tpu.protocols.dstar.phases import (HEADER_SYNC,
                                                         VOICE_SYNC)
-        adapter = DstarAdapter()
-        gates = [("sync_dist_header_sync", HEADER_SYNC),
-                 ("sync_dist_voice_sync", VOICE_SYNC)]
-    else:
+        return (FskPipeline(channels=1, protocol="dstar", n_centuries=2),
+                tb.DstarAdapter(),
+                lambda blk: {
+                    "sync_dist_header_sync": np_sync_dist(blk, HEADER_SYNC),
+                    "sync_dist_voice_sync": np_sync_dist(blk, VOICE_SYNC)})
+    if protocol == "pocsag":
         from digiham_tpu.protocols.pocsag import SYNC_PATTERN
-        adapter = PocsagAdapter()
-        gates = [("sync_dist_preamble", SYNC_PATTERN)]
+        return (FskPipeline(channels=1, protocol="pocsag", n_centuries=2),
+                tb.PocsagAdapter(),
+                lambda blk: {
+                    "sync_dist_preamble": np_sync_dist(blk, SYNC_PATTERN)})
+    if protocol == "dmr":
+        from digiham_tpu.protocols.dmr.phases import (BS_DATA_SYNC,
+                                                      BS_VOICE_SYNC,
+                                                      MS_DATA_SYNC,
+                                                      MS_VOICE_SYNC)
+        pats = [BS_DATA_SYNC, BS_VOICE_SYNC, MS_DATA_SYNC, MS_VOICE_SYNC]
+        return (DmrPipeline(channels=1, sps=10, n_centuries=2),
+                tb.DmrAdapter(),
+                lambda blk: {"sync_dist_dense": np.stack(
+                    [np_sync_dist(blk, p, dibits=True) for p in pats],
+                    axis=-1)})
+    if protocol == "ysf":
+        from digiham_tpu.protocols.ysf.phases import YSF_SYNC
+        return (YsfPipeline(channels=1, sps=10, n_centuries=10),
+                tb.YsfAdapter(),
+                lambda blk: {"sync_dist_dense":
+                             np_sync_dist(blk, YSF_SYNC, dibits=True)})
+    if protocol == "nxdn":
+        from digiham_tpu.protocols.nxdn.phases import FRAME_SYNC
+        return (NxdnPipeline(channels=1, sps=20, n_centuries=4),
+                tb.NxdnAdapter(),
+                lambda blk: {"sync_dist_dense":
+                             np_sync_dist(blk, FRAME_SYNC, dibits=True)})
+    raise ValueError(protocol)
 
-    pipe = FskPipeline(channels=1, protocol=protocol, n_centuries=2)
+
+def run_tracked(protocol, symbols, chunk, rng):
+    from digiham_tpu.runtime.meta import PipelineMetaWriter
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+
+    pipe, adapter, gate_fn = _setup(protocol)
     out = {0: b""}
     bank = TrackedChannelBank(
         pipe, on_output=lambda c, d: out.__setitem__(0, out[0] + d),
@@ -73,12 +114,11 @@ def run_tracked(protocol, bits, chunk, rng):
     events = []
     bank.set_meta_writer(0, PipelineMetaWriter(
         lambda b: events.append(b.decode("utf-8", "surrogateescape"))))
-    streams = bits[None, :]
+    streams = symbols[None, :]
     for lo in range(0, streams.shape[1], chunk):
         blk = streams[:, lo:lo + chunk].astype(np.uint8)
         if blk.shape[1] > 40:
-            hits = adapter.block_hits(
-                {name: np_sync_dist(blk, pat) for name, pat in gates})
+            hits = adapter.block_hits(gate_fn(blk))
             bank._consume_dibits(blk, hits)
         else:
             bank.push_dibits(blk)
@@ -149,6 +189,19 @@ def synth_pocsag(rng):
     return np.concatenate([np.asarray(p, np.uint8) for p in parts])
 
 
+def synth_dibit(protocol, rng):
+    """Structured dibit streams for DMR/YSF/NXDN, reusing the tracked-bank
+    test synthesizers (single channel)."""
+    seed = int(rng.integers(0, 1 << 31))
+    if protocol == "dmr":
+        import test_tracked_bank as m
+    elif protocol == "ysf":
+        import test_tracked_bank_ysf as m
+    else:
+        import test_tracked_bank_nxdn as m
+    return m.make_streams(seed, n_channels=1)[0]
+
+
 def corrupt(rng, bits):
     r = rng.random()
     bits = bits.copy()
@@ -162,22 +215,31 @@ def corrupt(rng, bits):
     return bits
 
 
+PROTOCOLS = ("dstar", "pocsag", "dmr", "ysf", "nxdn")
+META_CHECKED = ("dstar", "dmr", "ysf", "nxdn")
+
+
 def main(n_cases=200, seed0=0):
     bad = 0
     for i in range(n_cases):
         rng = np.random.default_rng(seed0 + i)
-        proto = "dstar" if i % 2 == 0 else "pocsag"
-        bits = corrupt(rng, synth_dstar(rng) if proto == "dstar"
-                       else synth_pocsag(rng))
+        proto = PROTOCOLS[i % len(PROTOCOLS)]
+        if proto == "dstar":
+            symbols = corrupt(rng, synth_dstar(rng))
+        elif proto == "pocsag":
+            symbols = corrupt(rng, synth_pocsag(rng))
+        else:
+            symbols = synth_dibit(proto, rng)  # corruption built in
         chunk = int(rng.integers(97, 4096))
-        got, meta = run_tracked(proto, bits, chunk, rng)
-        ref, ref_meta = run_reference(proto, bits)
-        if got != ref or (proto == "dstar" and meta != ref_meta):
+        got, meta = run_tracked(proto, symbols, chunk, rng)
+        ref, ref_meta = run_reference(proto, symbols)
+        meta_eq = meta == ref_meta if proto in META_CHECKED else True
+        if got != ref or not meta_eq:
             bad += 1
-            np.save(f"/tmp/fuzz_tracked_div_{proto}_{seed0 + i}.npy", bits)
+            np.save(f"/tmp/fuzz_tracked_div_{proto}_{seed0 + i}.npy",
+                    symbols)
             print(f"DIVERGENCE {proto} seed={seed0 + i} chunk={chunk} "
-                  f"got={len(got)} ref={len(ref)} "
-                  f"meta_eq={meta == ref_meta}")
+                  f"got={len(got)} ref={len(ref)} meta_eq={meta_eq}")
         if (i + 1) % 100 == 0:
             print(f"{i + 1}/{n_cases} cases, {bad} divergences",
                   flush=True)
