@@ -102,20 +102,32 @@ def _setup(protocol):
     raise ValueError(protocol)
 
 
-def run_tracked(protocol, symbols, chunk, rng):
+def run_tracked(protocol, symbols, chunk, rng, snapshot_at=None):
+    """Optionally snapshot+restore into a brand-new bank before chunk
+    index ``snapshot_at`` — the resumed decode must still match the
+    reference byte-for-byte (checkpoint x gated-hunting interaction)."""
     from digiham_tpu.runtime.meta import PipelineMetaWriter
     from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
 
     pipe, adapter, gate_fn = _setup(protocol)
     out = {0: b""}
-    bank = TrackedChannelBank(
-        pipe, on_output=lambda c, d: out.__setitem__(0, out[0] + d),
-        adapter=adapter)
     events = []
-    bank.set_meta_writer(0, PipelineMetaWriter(
-        lambda b: events.append(b.decode("utf-8", "surrogateescape"))))
+
+    def make_bank():
+        b = TrackedChannelBank(
+            pipe, on_output=lambda c, d: out.__setitem__(0, out[0] + d),
+            adapter=adapter)
+        b.set_meta_writer(0, PipelineMetaWriter(
+            lambda x: events.append(x.decode("utf-8", "surrogateescape"))))
+        return b
+
+    bank = make_bank()
     streams = symbols[None, :]
-    for lo in range(0, streams.shape[1], chunk):
+    for i, lo in enumerate(range(0, streams.shape[1], chunk)):
+        if snapshot_at is not None and i == snapshot_at:
+            blob = bank.snapshot()
+            bank = make_bank()
+            bank.restore(blob)
         blk = streams[:, lo:lo + chunk].astype(np.uint8)
         if blk.shape[1] > 40:
             hits = adapter.block_hits(gate_fn(blk))
@@ -231,7 +243,10 @@ def main(n_cases=200, seed0=0):
         else:
             symbols = synth_dibit(proto, rng)  # corruption built in
         chunk = int(rng.integers(97, 4096))
-        got, meta = run_tracked(proto, symbols, chunk, rng)
+        n_chunks = max(1, -(-len(symbols) // chunk))
+        snapshot_at = (int(rng.integers(1, n_chunks + 1))
+                       if rng.random() < 0.5 else None)
+        got, meta = run_tracked(proto, symbols, chunk, rng, snapshot_at)
         ref, ref_meta = run_reference(proto, symbols)
         meta_eq = meta == ref_meta if proto in META_CHECKED else True
         if got != ref or not meta_eq:
