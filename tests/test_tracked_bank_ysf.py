@@ -7,7 +7,8 @@ from digiham_tpu.protocols.ysf import make_decoder
 from digiham_tpu.runtime.meta import PipelineMetaWriter
 from digiham_tpu.runtime.tracked_bank import TrackedChannelBank, YsfAdapter
 
-from ysf_synth import header_frame, terminator_frame, vd2_frame
+from ysf_synth import (header_frame, terminator_frame, v1_frame,
+                       vd2_frame, vw_frame)
 
 
 def make_streams(seed, n_channels=2):
@@ -17,8 +18,16 @@ def make_streams(seed, n_channels=2):
         parts = [rng.integers(0, 4, int(rng.integers(30, 300)))]
         parts.append(header_frame(b"DEST", b"SRC", b"DOWN", b"UP"))
         for _ in range(int(rng.integers(3, 8))):
-            parts.append(vd2_frame(int(rng.integers(0, 8)),
-                                   b"TRACKYSF  "))
+            kind = rng.integers(0, 3)
+            fn = int(rng.integers(0, 8))
+            if kind == 0:
+                parts.append(vd2_frame(fn, b"TRACKYSF  "))
+            elif kind == 1:
+                parts.append(v1_frame(fn, rng.integers(0, 4, 36)))
+            else:
+                parts.append(vw_frame(
+                    fn, rng.integers(0, 256, 18).astype(np.uint8)
+                    .tobytes()))
         parts.append(terminator_frame())
         parts.append(rng.integers(0, 4, 100))
         for _ in range(int(rng.integers(2, 5))):

@@ -150,3 +150,42 @@ class TestStrings:
         assert treat_ysf_string(b"DG1ABC    ") == "DG1ABC"
         assert treat_ysf_string(b"AB\nCDEFGHI") == "AB"
         assert treat_ysf_string(b"0123456789") == "0123456789"
+
+
+class TestV1AndVwModes:
+    def test_v1_stream(self):
+        """V/D1 frames: mode byte 0 + 9 bytes per block, 'V1' metadata.
+        NB the reference's `=` vs `|=` packing quirk means only the last
+        dibit of each group of 4 lands in the byte (ysf_phase.cpp:175)."""
+        from ysf_synth import v1_frame
+        voice36 = np.tile([1, 2, 3, 0], 9)
+        from ysf_synth import terminator_frame
+        frames = [v1_frame(i, voice36) for i in range(3)]
+        # terminator then pad: flushes the 1-frame lookahead without the
+        # trailing zeros being decoded as voice under sync hysteresis
+        frames += [terminator_frame(), np.zeros(481, np.uint8)]
+        dec = make_decoder()
+        events = attach_meta(dec)
+        out = dec.process(np.concatenate(frames))
+        assert len(out) == 3 * 5 * 10
+        assert out[0] == 0  # V/D1 mode byte
+        # `=` packing: byte k keeps only dibit 4k+3 at shift 0
+        assert out[1:10] == bytes([0] * 9)
+        assert any("mode:V1" in e for e in events)
+
+    def test_vw_stream_and_header_subframe_skip(self):
+        """VW frames: 18 raw bytes per block; after a header the first
+        frame skips blocks 0-2 (expect_sub_frame, ysf_phase.cpp:122)."""
+        from ysf_synth import header_frame, vw_frame
+        from ysf_synth import terminator_frame
+        parts = [header_frame(b"DEST", b"SRC ", b"DOWN", b"UP  "),
+                 vw_frame(0), vw_frame(1), terminator_frame(),
+                 np.zeros(481, np.uint8)]
+        dec = make_decoder()
+        events = attach_meta(dec)
+        out = dec.process(np.concatenate(parts))
+        # first VW frame after header: blocks 3..4 only; second: all 5
+        assert len(out) == (2 + 5) * 19
+        assert out[0] == 3  # VW mode byte
+        assert out[1:19] == b"\xA5" * 18
+        assert any("mode:VW" in e for e in events)

@@ -98,6 +98,37 @@ def header_frame(dest: bytes, src: bytes, down: bytes, up: bytes,
     return frame
 
 
+def v1_frame(frame_number: int, voice36=None) -> np.ndarray:
+    """One V/D1 communication frame: 5 x (36 DCH + 36 raw voice dibits).
+    The decoder reads the 36 voice dibits unprotected
+    (ysf_phase.cpp:174-178)."""
+    frame = np.zeros(FRAME_SIZE, np.uint8)
+    frame[:SYNC_SIZE] = YSF_SYNC
+    frame[SYNC_SIZE:SYNC_SIZE + FICH_SIZE] = encode_fich(
+        make_fich_word(1, 0, frame_number))
+    payload = frame[SYNC_SIZE + FICH_SIZE:]
+    if voice36 is None:
+        voice36 = np.tile([1, 2, 3, 0], 9)
+    for i in range(5):
+        payload[36 + i * 72:36 + i * 72 + 36] = voice36
+    return frame
+
+
+def vw_frame(frame_number: int, voice18: bytes = b"\xA5" * 18) -> np.ndarray:
+    """One VW (full-rate voice) frame: 5 x 72 raw voice dibits = 18 bytes
+    each (ysf_phase.cpp:308-315)."""
+    frame = np.zeros(FRAME_SIZE, np.uint8)
+    frame[:SYNC_SIZE] = YSF_SYNC
+    frame[SYNC_SIZE:SYNC_SIZE + FICH_SIZE] = encode_fich(
+        make_fich_word(1, 3, frame_number))
+    payload = frame[SYNC_SIZE + FICH_SIZE:]
+    bits = np.unpackbits(np.frombuffer(voice18, np.uint8))
+    block = ((bits[0::2] << 1) | bits[1::2]).astype(np.uint8)
+    for i in range(5):
+        payload[i * 72:i * 72 + 72] = block
+    return frame
+
+
 def terminator_frame() -> np.ndarray:
     frame = np.zeros(FRAME_SIZE, np.uint8)
     frame[:SYNC_SIZE] = YSF_SYNC
