@@ -8,7 +8,8 @@ from digiham_tpu.fec.codes import (
     GOLAY_20_8, HAMMING_7_4, HAMMING_16_11, QR_16_7,
 )
 from digiham_tpu.protocols.dmr.phases import (
-    BS_DATA_SYNC, BS_VOICE_SYNC, CACH_SIZE, FRAME_SIZE, SYNC_OFFSET, SYNC_SIZE,
+    BS_DATA_SYNC, BS_VOICE_SYNC, CACH_SIZE, FRAME_SIZE,
+    MS_DATA_SYNC, MS_VOICE_SYNC, SYNC_OFFSET, SYNC_SIZE,
 )
 from digiham_tpu.protocols.dmr.components import (
     TACT_POSITIONS, LCSS_START, LCSS_STOP, LCSS_CONTINUATION,
@@ -63,7 +64,7 @@ def data_frame(slot: int, data_type: int, lc9: bytes,
 
 def voice_frame(slot: int, payload108=None, sync=True,
                 emb_fragment: bytes | None = None,
-                lcss: int = LCSS_CONTINUATION) -> np.ndarray:
+                lcss: int = LCSS_CONTINUATION, ms=False) -> np.ndarray:
     """Voice burst: CACH + 2x54-dibit voice payload + sync or EMB."""
     frame = np.zeros(FRAME_SIZE, dtype=np.uint8)
     frame[:CACH_SIZE] = make_cach(slot)
@@ -73,7 +74,8 @@ def voice_frame(slot: int, payload108=None, sync=True,
     frame[CACH_SIZE:CACH_SIZE + 54] = payload108[:54]
     frame[CACH_SIZE + 54 + SYNC_SIZE:] = payload108[54:]
     if sync:
-        frame[SYNC_OFFSET:SYNC_OFFSET + SYNC_SIZE] = BS_VOICE_SYNC
+        frame[SYNC_OFFSET:SYNC_OFFSET + SYNC_SIZE] = \
+            MS_VOICE_SYNC if ms else BS_VOICE_SYNC
     else:
         # EMB halves + 16-dibit embedded fragment
         emb16 = int(QR_16_7.encode((1 << 3) | (0 << 2) | lcss))

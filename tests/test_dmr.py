@@ -216,3 +216,17 @@ class TestResilience:
         parts = b"".join(dec.process(stream[i:i + 101])
                          for i in range(0, len(stream), 101))
         assert whole == parts
+
+
+def test_ms_sync_voice_decodes_like_bs():
+    """Mobile-station sync patterns map to the same voice sync type
+    (dmr_phase.hpp:25-28): an MS voice stream decodes identically."""
+    from dmr_synth import voice_frame
+    from digiham_tpu.protocols.dmr import make_decoder
+    payload = np.tile([2, 0, 3, 1], 27)
+    bs = [voice_frame(s % 2, payload, sync=True) for s in range(8)]
+    ms = [voice_frame(s % 2, payload, sync=True, ms=True)
+          for s in range(8)]
+    out_bs = make_decoder().process(np.concatenate(bs))
+    out_ms = make_decoder().process(np.concatenate(ms))
+    assert out_ms == out_bs and len(out_ms) >= 4 * 27

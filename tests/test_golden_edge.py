@@ -14,7 +14,7 @@ from test_golden_reference import compare
 
 import dmr_synth
 from dmr_synth import (data_frame, embedded_fragments, make_lc_bytes,
-                       voice_superframe)
+                       voice_frame, voice_superframe)
 from digiham_tpu.protocols.dmr.components import (LC_GPS_INFO,
                                                   LC_TALKER_ALIAS_HDR)
 
@@ -218,4 +218,40 @@ class TestDstarInlineHeaderGolden:
             full_voice_stream(24, message_frames=frames)
             + [np.zeros(250, np.uint8)])
         out = compare("dstar", make_decoder, stream, tmp_path)
+        assert len(out) > 0
+
+
+class TestMsSyncGolden:
+    def test_ms_voice_stream(self, tmp_path):
+        """Mobile-station sync patterns (dmr_phase.hpp:25-28) vs the
+        reference binary."""
+        from digiham_tpu.protocols.dmr import make_decoder
+        payload = np.tile([2, 0, 3, 1], 27)
+        stream = np.concatenate(
+            [voice_frame(s % 2, payload, sync=True, ms=True)
+             for s in range(8)])
+        out = compare("dmr", make_decoder, stream, tmp_path)
+        assert len(out) >= 4 * 27
+
+
+class TestNxdnChannelTypesGolden:
+    def test_rcch_udch_skipped(self, tmp_path):
+        """RCCH rf-type and UDCH functional-type frames skip SACCH/slot
+        decode (nxdn_phase.cpp:55-174 gate) — byte-identical behavior."""
+        from digiham_tpu.protocols.nxdn import make_decoder
+        from nxdn_synth import (encode_sacch_unit, nxdn_frame,
+                                vcall_superframe_bytes, voice_slot_dibits)
+        units = vcall_superframe_bytes(1, 77, 88)
+        payload72 = np.tile([1, 3, 0, 2], 18).astype(np.uint8)
+        parts = [np.zeros(60, np.uint8)]
+        for i in range(8):
+            lich = ((0b00, 0b10, 0b11) if i % 2 else (0b01, 0b01, 0b11)) \
+                if i % 3 == 2 else (0b01, 0b10, 0b11)
+            parts.append(nxdn_frame(
+                lich, encode_sacch_unit(i % 4, units[i % 4]),
+                [voice_slot_dibits(payload72, 38),
+                 voice_slot_dibits(payload72, 110)]))
+        parts.append(np.zeros(400, np.uint8))
+        out = compare("nxdn", make_decoder,
+                      np.concatenate(parts), tmp_path)
         assert len(out) > 0

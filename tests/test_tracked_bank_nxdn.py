@@ -39,9 +39,13 @@ def make_streams(seed, n_channels=2):
                     mt = (MESSAGE_TYPE_TX_RELEASE
                           if rng.random() < 0.15 else MESSAGE_TYPE_IDLE)
                     slots.append(encode_facch1(mt, 38 + 72 * s))
+            lich = (0b01, 0b10, option)
+            if rng.random() < 0.15:
+                # RCCH / UDCH frames: SACCH + slots are skipped
+                lich = (0b00, 0b10, option) if rng.random() < 0.5 \
+                    else (0b01, 0b01, option)
             parts.append(nxdn_frame(
-                (0b01, 0b10, option),
-                encode_sacch_unit(i % 4, units[i % 4]), slots))
+                lich, encode_sacch_unit(i % 4, units[i % 4]), slots))
         parts.append(np.zeros(300, np.uint8))
         dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
         if rng.random() < 0.5:
