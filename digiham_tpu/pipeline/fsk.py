@@ -54,7 +54,8 @@ class FskPipeline:
     """
 
     def __init__(self, channels: int, protocol: str = "dstar",
-                 n_centuries: int = 4, rrc: RrcDesign | None = None):
+                 n_centuries: int = 4, rrc: RrcDesign | None = None,
+                 sps: int | None = None):
         self.channels = channels
         self.protocol = protocol
         if protocol == "dstar":
@@ -62,10 +63,14 @@ class FskPipeline:
             self.patterns = {"header_sync": HEADER_SYNC,
                              "voice_sync": VOICE_SYNC}
         elif protocol == "pocsag":
+            # default 40 sps = 1200 baud @48k; override for 512/2400
+            # (the reference's --samples flag, fsk_demodulator_cli.hpp:16)
             self.sps, self.invert = 40, True
             self.patterns = {"preamble": POCSAG_SYNC}
         else:
             raise ValueError(protocol)
+        if sps is not None:
+            self.sps = sps
         self.rrc = rrc
         self.n_centuries = n_centuries
         self.symbols_per_block = n_centuries * 100

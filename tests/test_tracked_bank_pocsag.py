@@ -144,3 +144,25 @@ def test_full_sample_path_smoke():
         bank.push(samples[:, lo:lo + 8192])
     for c in range(2):
         assert b"message:TPU BANK" in outputs[c]
+
+
+@pytest.mark.parametrize("sps", [20, 40, 94])
+def test_other_baud_rates(sps):
+    """512/2400 baud = different sps (the reference's --samples flag):
+    the tracked sample path decodes at any symbol rate."""
+    cws = [address_codeword(55, 3)]
+    cws += [data_codeword(p) for p in alpha_payloads("RATE TEST")]
+    bits = np.concatenate([build_stream(cws), np.zeros(200, np.uint8)])
+    levels = np.array([1.0, -1.0], np.float32)
+    samples = np.stack(
+        [(np.repeat(levels[bits], sps) * 1000).astype(np.float32)] * 2)
+    pipe = FskPipeline(channels=2, protocol="pocsag", n_centuries=2,
+                       sps=sps)
+    outputs = {c: b"" for c in range(2)}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d), adapter=PocsagAdapter())
+    for lo in range(0, samples.shape[1], 8192):
+        bank.push(samples[:, lo:lo + 8192])
+    for c in range(2):
+        assert b"message:RATE TEST" in outputs[c]
