@@ -255,3 +255,43 @@ class TestNxdnChannelTypesGolden:
         out = compare("nxdn", make_decoder,
                       np.concatenate(parts), tmp_path)
         assert len(out) > 0
+
+
+class TestDstarHalfTerminator:
+    def test_half_length_terminator(self, tmp_path):
+        """A frame whose 24 data bits alone match the terminator's second
+        half ends the stream (dstar_phase.cpp:96-100) even when the full
+        48-bit window doesn't match."""
+        from digiham_tpu.protocols.dstar import make_decoder
+        from digiham_tpu.protocols.dstar.phases import TERMINATOR
+        from test_dstar import full_voice_stream
+        parts = full_voice_stream(6)
+        half_term = np.concatenate([
+            np.unpackbits(np.frombuffer(b"\x55" * 9, np.uint8),
+                          bitorder="little"),
+            TERMINATOR[24:],
+        ])
+        parts += [half_term, np.ones(300, np.uint8)]
+        out = compare("dstar", make_decoder,
+                      np.concatenate(parts).astype(np.uint8), tmp_path)
+        assert len(out) >= 9 * 5
+
+
+class TestYsfTestChannelGolden:
+    def test_test_channel_ignored(self, tmp_path):
+        """FRAME_TYPE_TEST_CHANNEL (fich.hpp) falls through every dispatch
+        branch — byte-identical no-op between voice frames."""
+        from digiham_tpu.protocols.ysf import make_decoder
+        from ysf_synth import make_fich_word, vd2_frame
+        from digiham_tpu.protocols.ysf.fich import encode_fich
+        from digiham_tpu.protocols.ysf.phases import (FICH_SIZE, FRAME_SIZE,
+                                                      SYNC_SIZE, YSF_SYNC)
+        test_frame = np.zeros(FRAME_SIZE, np.uint8)
+        test_frame[:SYNC_SIZE] = YSF_SYNC
+        test_frame[SYNC_SIZE:SYNC_SIZE + FICH_SIZE] = encode_fich(
+            make_fich_word(3, 2))
+        stream = np.concatenate(
+            [vd2_frame(0, b"BEFORE    "), test_frame,
+             vd2_frame(1, b"AFTER     "), np.zeros(481, np.uint8)])
+        out = compare("ysf", make_decoder, stream, tmp_path)
+        assert len(out) > 0

@@ -145,3 +145,22 @@ def test_full_sample_path_smoke():
     for c in range(2):
         assert len(outputs[c]) >= 9 * 20
         assert outputs[c][:9] == b"\xAA" * 9
+
+
+def test_half_terminator_equivalence():
+    """Half-length terminator (24 data bits only, dstar_phase.cpp:96-100)
+    through the tracked bank."""
+    from digiham_tpu.protocols.dstar.phases import TERMINATOR
+    parts = full_voice_stream(6)
+    half_term = np.concatenate([
+        np.unpackbits(np.frombuffer(b"\x55" * 9, np.uint8),
+                      bitorder="little"),
+        TERMINATOR[24:],
+    ])
+    parts += [half_term, np.ones(300, np.uint8)]
+    streams = np.stack([np.concatenate(parts).astype(np.uint8)] * 2)
+    outputs, metas = tracked_path(streams, gated=True)
+    ref_out, ref_meta = reference_path(streams)
+    for c in range(2):
+        assert outputs[c] == ref_out[c]
+        assert metas[c] == ref_meta[c]
