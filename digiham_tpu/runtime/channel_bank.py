@@ -79,3 +79,55 @@ class ChannelBank:
 
         demod = self.state.demod
         demod.pos = demod.pos - jnp.int32(base)
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> bytes:
+        """Serialize device pytrees + sample backlog + every decoder's
+        phase-machine state for bit-exact resume via ``restore``. Meta
+        writers (user callbacks) are NOT serialized (same contract as
+        TrackedChannelBank.snapshot)."""
+        import pickle
+
+        from .checkpoint import save_state
+        writers = []
+        for dec in self.decoders:
+            mc = getattr(dec, "meta_collector", None)
+            writers.append(mc.writer if mc is not None else None)
+            if mc is not None:
+                mc.writer = None
+        try:
+            dec_blob = pickle.dumps(self.decoders)
+        finally:
+            for dec, w in zip(self.decoders, writers):
+                mc = getattr(dec, "meta_collector", None)
+                if mc is not None:
+                    mc.writer = w
+        return pickle.dumps({
+            "pipeline_state": save_state(self.state),
+            "decoders": dec_blob,
+            "samples": self.buffer.data[:, :self.buffer.fill].copy(),
+        })
+
+    def restore(self, blob: bytes) -> None:
+        """Inverse of ``snapshot`` on a bank with the same pipeline
+        configuration; writers attached to this bank's decoders carry
+        over."""
+        import pickle
+
+        from .checkpoint import load_state
+        payload = pickle.loads(blob)
+        if payload["samples"].shape[0] != self.channels:
+            raise ValueError(
+                f"checkpoint has {payload['samples'].shape[0]} channels, "
+                f"bank has {self.channels}")
+        self.state = load_state(payload["pipeline_state"])
+        prev = self.decoders
+        self.decoders = pickle.loads(payload["decoders"])
+        for new, old in zip(self.decoders, prev):
+            new_mc = getattr(new, "meta_collector", None)
+            old_mc = getattr(old, "meta_collector", None)
+            if new_mc is not None and old_mc is not None:
+                new_mc.writer = old_mc.writer
+        self.buffer = SampleBuffer(self.channels)
+        if payload["samples"].shape[1]:
+            self.buffer.push(payload["samples"])

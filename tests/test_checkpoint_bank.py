@@ -92,3 +92,41 @@ def test_snapshot_is_plain_bytes():
         DmrPipeline(channels=1, sps=10, n_centuries=2))
     bank2.restore(blob)
     assert len(bank2.chans) == 1
+
+
+def test_symbol_channel_bank_resume():
+    """The symbol-domain ChannelBank snapshots/restores bit-exactly too
+    (decoder phase machines + device carries + backlog)."""
+    from digiham_tpu.protocols.dmr import make_decoder
+    from digiham_tpu.runtime.channel_bank import ChannelBank
+
+    payload = np.tile([1, 3, 0, 2], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(24)]
+    dibits = np.concatenate([np.zeros(40, np.uint8)] + frames)
+    sig = (np.repeat(LEVELS[dibits], 10) * 1000).astype(np.float32)
+    samples = np.stack([sig, sig * 0.7])
+    chunk = 4096
+
+    def run(snapshot_at=None):
+        out = {0: b"", 1: b""}
+        bank = ChannelBank(
+            DmrPipeline(channels=2, sps=10, n_centuries=2),
+            [make_decoder() for _ in range(2)],
+            on_output=lambda c, d: out.__setitem__(c, out[c] + d))
+        for i, lo in enumerate(range(0, samples.shape[1], chunk)):
+            if snapshot_at is not None and i == snapshot_at:
+                blob = bank.snapshot()
+                bank = ChannelBank(
+                    DmrPipeline(channels=2, sps=10, n_centuries=2),
+                    [make_decoder() for _ in range(2)],
+                    on_output=lambda c, d: out.__setitem__(
+                        c, out[c] + d))
+                bank.restore(blob)
+            bank.push(samples[:, lo:lo + chunk])
+        return out
+
+    base = run()
+    res = run(snapshot_at=4)
+    for c in range(2):
+        assert len(base[c]) > 0
+        assert res[c] == base[c]
