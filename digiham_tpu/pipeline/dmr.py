@@ -198,10 +198,12 @@ class DmrPipeline:
     correlation (acquisition); the steady-state math is all device-side.
     """
 
-    def __init__(self, channels: int, sps: int = 10, n_centuries: int = 8):
+    def __init__(self, channels: int, sps: int = 10, n_centuries: int = 8,
+                 use_rrc: bool = True):
         self.channels = channels
         self.sps = sps
         self.n_centuries = n_centuries
+        self.use_rrc = use_rrc  # False = input is already RRC-filtered
         self.symbols_per_block = n_centuries * 100
 
     def init_state(self) -> DmrPipelineState:
@@ -231,7 +233,11 @@ class DmrPipeline:
         [C, S-23, 4], and frame fields decoded at every 144-aligned offset
         ([C, S//144, ...]).
         """
-        filtered, rrc_state = rrc_filter_block(samples, state.rrc, WIDE_RRC)
+        if self.use_rrc:
+            filtered, rrc_state = rrc_filter_block(
+                samples, state.rrc, WIDE_RRC)
+        else:
+            filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps)
         sync_dist_dense = dmr_sync_correlate(dibits)

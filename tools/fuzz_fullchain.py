@@ -1,0 +1,171 @@
+"""Sample-domain full-chain fuzzing against the compiled reference.
+
+The strongest composition check: random RF-like sample streams (AWGN,
+amplitude steps, trackable clock drift, zero tails) decoded by
+
+  reference:  dsp_harness gfsk/fsk  ->  ref_harness <protocol>
+  ours:       fused device pipeline ->  TrackedChannelBank
+
+and compared byte-for-byte (payload + metadata). Both sides get the
+SAME filtered audio (for DMR the reference's own RRC binary feeds both,
+since our float32 conv differs by ~1e-5 — enough to flip a borderline
+noisy symbol; the demodulators themselves are symbol-exact on identical
+input, so the full chain must match exactly).
+
+Usage: python tools/fuzz_fullchain.py [n_cases] [seed0]
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, ".")
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+DSP = os.path.join("tests", "ref_harness", "dsp_harness")
+REF = os.path.join("tests", "ref_harness", "ref_harness")
+
+FOUR_LEVELS = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+TWO_LEVELS = np.array([-1.0, 1.0])
+
+
+def ref_chain(demod_args, protocol, samples):
+    p1 = subprocess.run([DSP] + demod_args,
+                        input=samples.astype(np.float32).tobytes(),
+                        capture_output=True, timeout=300)
+    assert p1.returncode == 0, p1.stderr[-200:]
+    meta = f"/tmp/fuzz_fullchain_meta_{os.getpid()}.txt"
+    p2 = subprocess.run([REF, protocol, meta], input=p1.stdout,
+                        capture_output=True, timeout=300)
+    assert p2.returncode == 0, p2.stderr[-200:]
+    with open(meta, encoding="utf-8", errors="surrogateescape") as f:
+        return p2.stdout, f.read()
+
+
+def our_chain(protocol, samples, chunk):
+    from digiham_tpu.pipeline import DmrPipeline, FskPipeline
+    from digiham_tpu.runtime.meta import PipelineMetaWriter
+    from digiham_tpu.runtime.tracked_bank import (DstarAdapter,
+                                                  DmrAdapter,
+                                                  PocsagAdapter,
+                                                  TrackedChannelBank)
+
+    if protocol == "dmr":
+        pipe = DmrPipeline(channels=1, sps=10, n_centuries=2,
+                           use_rrc=False)
+        adapter = DmrAdapter()
+    elif protocol == "dstar":
+        pipe = FskPipeline(channels=1, protocol="dstar", n_centuries=2)
+        adapter = DstarAdapter()
+    else:
+        pipe = FskPipeline(channels=1, protocol="pocsag", n_centuries=2)
+        adapter = PocsagAdapter()
+    out = {0: b""}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: out.__setitem__(0, out[0] + d),
+        adapter=adapter)
+    events = []
+    bank.set_meta_writer(0, PipelineMetaWriter(
+        lambda b: events.append(b.decode("utf-8", "surrogateescape"))))
+    row = samples[None, :].astype(np.float32)
+    for lo in range(0, row.shape[1], chunk):
+        bank.push(row[:, lo:lo + chunk])
+    return out[0], "".join(events)
+
+
+def impair(rng, samples, sps):
+    """AWGN + amplitude step + optional trackable clock drift."""
+    amp = rng.uniform(300, 3000)
+    x = samples * amp
+    if rng.random() < 0.5:
+        # amplitude step mid-stream (AGC must re-converge)
+        k = rng.integers(len(x) // 4, 3 * len(x) // 4)
+        x = x.copy()
+        x[k:] *= rng.uniform(0.4, 2.0)
+    x = x + rng.normal(0, amp * rng.uniform(0.0, 0.15), len(x))
+    if rng.random() < 0.4:
+        # trackable clock offset: <= 1 sample per 100 symbols
+        period = int(rng.integers(150 * sps, 400 * sps))
+        keep = np.ones(len(x), bool)
+        keep[::period] = False
+        x = x[keep]
+    return x.astype(np.float32)
+
+
+def synth(protocol, rng):
+    if protocol == "dmr":
+        from dmr_synth import data_frame, group_lc, voice_superframe
+        lc = group_lc(int(rng.integers(1, 1 << 24)),
+                      int(rng.integers(1, 1 << 24)))
+        payload = rng.integers(0, 4, 108)
+        parts = [rng.integers(0, 4, int(rng.integers(30, 150)))]
+        parts += [data_frame(s % 2, 1, lc) for s in range(2)]
+        for k in range(int(rng.integers(1, 4))):
+            parts += voice_superframe(k % 2, lc, payload)
+        dibits = np.concatenate(parts)
+        base = np.repeat(FOUR_LEVELS[dibits], 10)
+        return np.concatenate([base, np.zeros(6000 * 10)]), 10
+    if protocol == "dstar":
+        from test_dstar import full_voice_stream
+        bits = np.concatenate(
+            full_voice_stream(int(rng.integers(5, 40))))
+        base = np.repeat(TWO_LEVELS[bits.astype(int)], 10)
+        # D-Star only sync-checks every 21st frame (cap 3), so a zero
+        # tail keeps emitting voice for up to ~8,000 bits before the
+        # decoder desyncs; pad well past that so both chains go quiet
+        # before the bank's ~2-century tail lookahead matters
+        return np.concatenate([base, np.zeros(12000 * 10)]), 10
+    from test_pocsag import (address_codeword, alpha_payloads,
+                             build_stream, data_codeword)
+    text = "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 10))
+    cws = [address_codeword(int(rng.integers(1, 1 << 18)), 3)]
+    cws += [data_codeword(p) for p in alpha_payloads(text)]
+    bits = build_stream(cws)
+    base = np.repeat(-TWO_LEVELS[bits.astype(int)], 40)  # inverted
+    return np.concatenate([base, np.zeros(3000 * 40)]), 40
+
+
+PROTOCOLS = ("dmr", "dstar", "pocsag")
+DEMOD_ARGS = {"dmr": ["gfsk", "10"], "dstar": ["fsk", "10"],
+              "pocsag": ["fsk", "40", "i"]}
+
+
+def main(n_cases=60, seed0=0):
+    bad = 0
+    for i in range(n_cases):
+        rng = np.random.default_rng(seed0 + i)
+        proto = PROTOCOLS[i % len(PROTOCOLS)]
+        clean, sps = synth(proto, rng)
+        samples = impair(rng, clean, sps)
+        if proto == "dmr":
+            # feed the reference's own RRC output to BOTH chains
+            p = subprocess.run([DSP, "rrc"],
+                               input=samples.tobytes(),
+                               capture_output=True, timeout=300)
+            assert p.returncode == 0
+            samples = np.frombuffer(p.stdout, np.float32)
+        chunk = int(rng.integers(4096, 32768))
+        got, meta = our_chain(proto, samples, chunk)
+        ref, ref_meta = ref_chain(DEMOD_ARGS[proto], proto, samples)
+        meta_eq = meta == ref_meta if proto != "pocsag" else True
+        if got != ref or not meta_eq:
+            bad += 1
+            np.save(f"/tmp/fuzz_fullchain_div_{proto}_{seed0 + i}.npy",
+                    samples)
+            print(f"DIVERGENCE {proto} seed={seed0 + i} "
+                  f"got={len(got)} ref={len(ref)} meta_eq={meta_eq}")
+        if (i + 1) % 30 == 0:
+            print(f"{i + 1}/{n_cases} cases, {bad} divergences",
+                  flush=True)
+    print(f"DONE {n_cases} cases, {bad} divergences")
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(*(int(a) for a in sys.argv[1:3])) else 0)
