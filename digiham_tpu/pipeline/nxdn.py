@@ -76,10 +76,12 @@ class NxdnPipeline:
     """Fused device pipeline for NXDN48 channel banks: narrow RRC ->
     4FSK @20 sps -> dibits + dense sync distances. ChannelBank-compatible."""
 
-    def __init__(self, channels: int, sps: int = 20, n_centuries: int = 4):
+    def __init__(self, channels: int, sps: int = 20, n_centuries: int = 4,
+                 use_rrc: bool = True):
         self.channels = channels
         self.sps = sps
         self.n_centuries = n_centuries
+        self.use_rrc = use_rrc  # False = input is already RRC-filtered
         self.symbols_per_block = n_centuries * 100
 
     def init_state(self) -> NxdnPipelineState:
@@ -88,8 +90,11 @@ class NxdnPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, samples: jnp.ndarray, state: NxdnPipelineState):
-        filtered, rrc_state = rrc_filter_block(
-            samples, state.rrc, NARROW_RRC)
+        if self.use_rrc:
+            filtered, rrc_state = rrc_filter_block(
+                samples, state.rrc, NARROW_RRC)
+        else:
+            filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps)
         outputs = {"dibits": dibits,

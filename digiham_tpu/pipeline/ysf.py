@@ -124,10 +124,12 @@ class YsfPipeline:
     dense sync distances + per-480-frame FICH/voice fields. ChannelBank-
     compatible (same step contract as DmrPipeline)."""
 
-    def __init__(self, channels: int, sps: int = 10, n_centuries: int = 10):
+    def __init__(self, channels: int, sps: int = 10, n_centuries: int = 10,
+                 use_rrc: bool = True):
         self.channels = channels
         self.sps = sps
         self.n_centuries = n_centuries
+        self.use_rrc = use_rrc  # False = input is already RRC-filtered
         self.symbols_per_block = n_centuries * 100
 
     def init_state(self) -> YsfPipelineState:
@@ -136,7 +138,11 @@ class YsfPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, samples: jnp.ndarray, state: YsfPipelineState):
-        filtered, rrc_state = rrc_filter_block(samples, state.rrc, WIDE_RRC)
+        if self.use_rrc:
+            filtered, rrc_state = rrc_filter_block(
+                samples, state.rrc, WIDE_RRC)
+        else:
+            filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps)
         sync_dist_dense = ysf_sync_correlate(dibits)

@@ -49,17 +49,28 @@ def ref_chain(demod_args, protocol, samples):
 
 
 def our_chain(protocol, samples, chunk):
-    from digiham_tpu.pipeline import DmrPipeline, FskPipeline
+    from digiham_tpu.pipeline import (DmrPipeline, FskPipeline,
+                                      NxdnPipeline, YsfPipeline)
     from digiham_tpu.runtime.meta import PipelineMetaWriter
     from digiham_tpu.runtime.tracked_bank import (DstarAdapter,
                                                   DmrAdapter,
+                                                  NxdnAdapter,
                                                   PocsagAdapter,
-                                                  TrackedChannelBank)
+                                                  TrackedChannelBank,
+                                                  YsfAdapter)
 
     if protocol == "dmr":
         pipe = DmrPipeline(channels=1, sps=10, n_centuries=2,
                            use_rrc=False)
         adapter = DmrAdapter()
+    elif protocol == "ysf":
+        pipe = YsfPipeline(channels=1, sps=10, n_centuries=10,
+                           use_rrc=False)
+        adapter = YsfAdapter()
+    elif protocol == "nxdn":
+        pipe = NxdnPipeline(channels=1, sps=20, n_centuries=4,
+                            use_rrc=False)
+        adapter = NxdnAdapter()
     elif protocol == "dstar":
         pipe = FskPipeline(channels=1, protocol="dstar", n_centuries=2)
         adapter = DstarAdapter()
@@ -121,6 +132,39 @@ def synth(protocol, rng):
         # decoder desyncs; pad well past that so both chains go quiet
         # before the bank's ~2-century tail lookahead matters
         return np.concatenate([base, np.zeros(12000 * 10)]), 10
+    if protocol == "ysf":
+        from ysf_synth import (header_frame, terminator_frame, v1_frame,
+                               vd2_frame, vw_frame)
+        parts = [rng.integers(0, 4, int(rng.integers(30, 100))),
+                 header_frame(b"DEST", b"SRC ", b"DOWN", b"UP  ")]
+        for _ in range(int(rng.integers(2, 6))):
+            k = rng.integers(0, 3)
+            fn = int(rng.integers(0, 8))
+            parts.append(vd2_frame(fn, b"FULLCHAIN ") if k == 0
+                         else v1_frame(fn) if k == 1 else vw_frame(fn))
+        parts.append(terminator_frame())
+        dibits = np.concatenate([np.asarray(q, np.uint8) for q in parts])
+        base = np.repeat(FOUR_LEVELS[dibits], 10)
+        # YSF sync hysteresis cap is 12 frames = 5,760 symbols of zero
+        # tail before desync
+        return np.concatenate([base, np.zeros(10000 * 10)]), 10
+    if protocol == "nxdn":
+        from nxdn_synth import (encode_sacch_unit, nxdn_frame,
+                                vcall_superframe_bytes,
+                                voice_slot_dibits)
+        units = vcall_superframe_bytes(1, int(rng.integers(1, 1 << 16)),
+                                       int(rng.integers(1, 1 << 16)))
+        payload72 = rng.integers(0, 4, 72).astype(np.uint8)
+        parts = [rng.integers(0, 4, int(rng.integers(30, 100)))]
+        for i in range(int(rng.integers(4, 9))):
+            parts.append(nxdn_frame(
+                (0b01, 0b10, 0b11),
+                encode_sacch_unit(i % 4, units[i % 4]),
+                [voice_slot_dibits(payload72, 38),
+                 voice_slot_dibits(payload72, 110)]))
+        dibits = np.concatenate([np.asarray(q, np.uint8) for q in parts])
+        base = np.repeat(FOUR_LEVELS[dibits], 20)
+        return np.concatenate([base, np.zeros(4000 * 20)]), 20
     from test_pocsag import (address_codeword, alpha_payloads,
                              build_stream, data_codeword)
     text = "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 10))
@@ -131,9 +175,10 @@ def synth(protocol, rng):
     return np.concatenate([base, np.zeros(3000 * 40)]), 40
 
 
-PROTOCOLS = ("dmr", "dstar", "pocsag")
+PROTOCOLS = ("dmr", "dstar", "pocsag", "ysf", "nxdn")
 DEMOD_ARGS = {"dmr": ["gfsk", "10"], "dstar": ["fsk", "10"],
-              "pocsag": ["fsk", "40", "i"]}
+              "pocsag": ["fsk", "40", "i"], "ysf": ["gfsk", "10"],
+              "nxdn": ["gfsk", "20"]}
 
 
 def main(n_cases=60, seed0=0):
@@ -143,9 +188,11 @@ def main(n_cases=60, seed0=0):
         proto = PROTOCOLS[i % len(PROTOCOLS)]
         clean, sps = synth(proto, rng)
         samples = impair(rng, clean, sps)
-        if proto == "dmr":
+        if proto in ("dmr", "ysf", "nxdn"):
             # feed the reference's own RRC output to BOTH chains
-            p = subprocess.run([DSP, "rrc"],
+            # (nxdn uses the narrow 6.25 kHz design, nxdn48-decoder.sh)
+            rrc_mode = "rrc-narrow" if proto == "nxdn" else "rrc"
+            p = subprocess.run([DSP, rrc_mode],
                                input=samples.tobytes(),
                                capture_output=True, timeout=300)
             assert p.returncode == 0
