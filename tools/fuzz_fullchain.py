@@ -207,6 +207,11 @@ def main(n_cases=60, seed0=0):
                     samples)
             print(f"DIVERGENCE {proto} seed={seed0 + i} "
                   f"got={len(got)} ref={len(ref)} meta_eq={meta_eq}")
+        if (i + 1) % 20 == 0:
+            # every case builds fresh pipeline instances whose jitted
+            # steps are cached per (instance, block-shape); clear
+            # periodically or a long campaign exhausts LLVM code memory
+            jax.clear_caches()
         if (i + 1) % 30 == 0:
             print(f"{i + 1}/{n_cases} cases, {bad} divergences",
                   flush=True)
