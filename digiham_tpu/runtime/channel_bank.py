@@ -49,6 +49,8 @@ class ChannelBank:
         """
         import jax.numpy as jnp
 
+        if self.buffer is None:
+            raise RuntimeError("bank was flushed; create a new bank")
         self.buffer.push(samples)
         results = []
         while True:
@@ -79,6 +81,20 @@ class ChannelBank:
 
         demod = self.state.demod
         demod.pos = demod.pos - jnp.int32(base)
+
+    def flush(self) -> None:
+        """End-of-stream: decode the buffered sample tail exactly as the
+        reference would at EOF (see TrackedChannelBank.flush). Terminal."""
+        from .tracked_bank import _flush_demod
+
+        symbols = _flush_demod(self.pipeline, self.state, self.buffer)
+        for c, dec in enumerate(self.decoders):
+            if dec is None or not len(symbols[c]):
+                continue
+            payload = dec.process(symbols[c])
+            if payload and self.on_output is not None:
+                self.on_output(c, payload)
+        self.buffer = None  # further push() fails loudly
 
     # ------------------------------------------------------------------
     def snapshot(self) -> bytes:

@@ -353,6 +353,8 @@ class TrackedChannelBank:
     def push(self, samples: np.ndarray) -> None:
         import jax.numpy as jnp
 
+        if self.samples is None:
+            raise RuntimeError("bank was flushed; create a new bank")
         self.samples.push(samples)
         while True:
             pos = np.asarray(self.state.demod.pos)
@@ -374,6 +376,24 @@ class TrackedChannelBank:
     def push_dibits(self, dibits: np.ndarray) -> None:
         """Symbol-domain entry (bypasses the sample pipeline)."""
         self._consume_dibits(np.asarray(dibits, np.uint8))
+
+    def flush(self) -> None:
+        """End-of-stream: decode the buffered sample tail exactly as the
+        reference would at EOF.
+
+        The device pipeline consumes fixed-size blocks, so up to
+        ~n_centuries*100 symbols of a finite recording stay buffered
+        (a live stream never notices). This demodulates the remainder
+        with the reference-exact per-symbol host oracle
+        (fsk_demodulator.cpp:25-111), seeded from the device carry —
+        legal because the carry is century-aligned, where the
+        reference's variance ring is empty and its volume ring equals
+        ours — and feeds the symbols through the normal tracking path.
+        Terminal: the bank accepts no further samples afterwards.
+        """
+        symbols = _flush_demod(self.pipeline, self.state, self.samples)
+        self._consume_dibits(symbols)
+        self.samples = None  # further push() fails loudly
 
     # ------------------------------------------------------------------
     def _consume_dibits(self, dibits: np.ndarray,
@@ -487,6 +507,49 @@ class TrackedChannelBank:
                 return
             if consumed == 0:
                 return
+
+
+def _flush_demod(pipeline, state, samples) -> list:
+    """Demodulate a bank's buffered sample tail with the per-symbol host
+    oracle seeded from the device carry. Returns one uint8 symbol array
+    per channel (lengths may differ — the oracle stops exactly where the
+    reference's canProcess would)."""
+    import jax.numpy as jnp
+
+    from ..dsp.demod import FskDemodNp, GfskDemodNp
+    from ..dsp.rrc import rrc_filter_block
+
+    fill = samples.fill
+    tail = samples.data[:, :fill]
+    # replicate the pipeline's filter stage on the tail (same math/state)
+    design = None
+    if getattr(pipeline, "use_rrc", True):
+        from ..dsp.rrc import NARROW_RRC, WIDE_RRC
+        name = type(pipeline).__name__
+        if name == "NxdnPipeline":
+            design = NARROW_RRC
+        elif name in ("DmrPipeline", "YsfPipeline"):
+            design = WIDE_RRC
+        else:
+            design = getattr(pipeline, "rrc", None)
+    if design is not None and fill:
+        tail = np.asarray(rrc_filter_block(
+            jnp.asarray(tail), state.rrc, design)[0])
+    if getattr(pipeline, "protocol", None) in ("dstar", "pocsag"):
+        cls, invert = FskDemodNp, pipeline.invert
+    else:
+        cls, invert = GfskDemodNp, False
+    pos = np.asarray(state.demod.pos)
+    offset = np.asarray(state.demod.offset)
+    ring = np.asarray(state.demod.volume_ring)
+    out = []
+    for c in range(tail.shape[0]):
+        o = cls(pipeline.sps, invert=invert)
+        o.pos = int(pos[c])
+        o.variance_offset = int(offset[c])
+        o.volume_rb = ring[c].astype(np.float32).copy()
+        out.append(o.process(tail[c]))
+    return out
 
 
 def _takes_raw(tracker) -> bool:
