@@ -6,7 +6,9 @@ amplitude steps, trackable clock drift, zero tails) decoded by
   reference:  dsp_harness gfsk/fsk  ->  ref_harness <protocol>
   ours:       fused device pipeline ->  TrackedChannelBank
 
-and compared byte-for-byte (payload + metadata). Both sides get the
+and compared byte-for-byte (payload + metadata). Streams end with a
+RANDOM (possibly zero) padding and the bank is flush()ed — EOF behavior
+is part of the contract. Both sides get the
 SAME filtered audio (for DMR the reference's own RRC binary feeds both,
 since our float32 conv differs by ~1e-5 — enough to flip a borderline
 noisy symbol; the demodulators themselves are symbol-exact on identical
@@ -87,6 +89,7 @@ def our_chain(protocol, samples, chunk):
     row = samples[None, :].astype(np.float32)
     for lo in range(0, row.shape[1], chunk):
         bank.push(row[:, lo:lo + chunk])
+    bank.flush()  # reference-exact EOF draining -> no padding needed
     return out[0], "".join(events)
 
 
@@ -121,17 +124,15 @@ def synth(protocol, rng):
             parts += voice_superframe(k % 2, lc, payload)
         dibits = np.concatenate(parts)
         base = np.repeat(FOUR_LEVELS[dibits], 10)
-        return np.concatenate([base, np.zeros(6000 * 10)]), 10
+        pad = int(rng.integers(0, 6000))
+        return np.concatenate([base, np.zeros(pad * 10)]), 10
     if protocol == "dstar":
         from test_dstar import full_voice_stream
         bits = np.concatenate(
             full_voice_stream(int(rng.integers(5, 40))))
         base = np.repeat(TWO_LEVELS[bits.astype(int)], 10)
-        # D-Star only sync-checks every 21st frame (cap 3), so a zero
-        # tail keeps emitting voice for up to ~8,000 bits before the
-        # decoder desyncs; pad well past that so both chains go quiet
-        # before the bank's ~2-century tail lookahead matters
-        return np.concatenate([base, np.zeros(12000 * 10)]), 10
+        pad = int(rng.integers(0, 12000))
+        return np.concatenate([base, np.zeros(pad * 10)]), 10
     if protocol == "ysf":
         from ysf_synth import (header_frame, terminator_frame, v1_frame,
                                vd2_frame, vw_frame)
@@ -145,9 +146,8 @@ def synth(protocol, rng):
         parts.append(terminator_frame())
         dibits = np.concatenate([np.asarray(q, np.uint8) for q in parts])
         base = np.repeat(FOUR_LEVELS[dibits], 10)
-        # YSF sync hysteresis cap is 12 frames = 5,760 symbols of zero
-        # tail before desync
-        return np.concatenate([base, np.zeros(10000 * 10)]), 10
+        pad = int(rng.integers(0, 10000))
+        return np.concatenate([base, np.zeros(pad * 10)]), 10
     if protocol == "nxdn":
         from nxdn_synth import (encode_sacch_unit, nxdn_frame,
                                 vcall_superframe_bytes,
@@ -164,7 +164,8 @@ def synth(protocol, rng):
                  voice_slot_dibits(payload72, 110)]))
         dibits = np.concatenate([np.asarray(q, np.uint8) for q in parts])
         base = np.repeat(FOUR_LEVELS[dibits], 20)
-        return np.concatenate([base, np.zeros(4000 * 20)]), 20
+        pad = int(rng.integers(0, 4000))
+        return np.concatenate([base, np.zeros(pad * 20)]), 20
     from test_pocsag import (address_codeword, alpha_payloads,
                              build_stream, data_codeword)
     text = "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 10))
@@ -172,7 +173,8 @@ def synth(protocol, rng):
     cws += [data_codeword(p) for p in alpha_payloads(text)]
     bits = build_stream(cws)
     base = np.repeat(-TWO_LEVELS[bits.astype(int)], 40)  # inverted
-    return np.concatenate([base, np.zeros(3000 * 40)]), 40
+    pad = int(rng.integers(0, 3000))
+    return np.concatenate([base, np.zeros(pad * 40)]), 40
 
 
 PROTOCOLS = ("dmr", "dstar", "pocsag", "ysf", "nxdn")
