@@ -66,6 +66,26 @@ class _DemodCli(Cli):
         return b"".join(np.asarray(b)[0].astype(np.uint8).tobytes()
                         for b in blocks)
 
+    _oracle = None  # (cls, invert) set by subclasses in setup
+
+    def flush(self) -> bytes:
+        """EOF: the device path needs full centuries; demodulate the
+        buffered tail with the reference-exact per-symbol oracle seeded
+        from the (century-aligned) device carry, so the tool loses only
+        the reference's own sps+1 lookahead at end of input."""
+        if self._oracle is None:
+            return b""
+        cls, invert = self._oracle
+        drv = self.driver
+        st = drv.state
+        o = cls(drv.sps, invert=invert)
+        o.pos = int(np.asarray(st.pos)[0])
+        o.variance_offset = int(np.asarray(st.offset)[0])
+        o.volume_rb = np.asarray(st.volume_ring)[0].astype(
+            np.float32).copy()
+        tail = drv.buffer.data[0, :drv.buffer.fill]
+        return o.process(tail).astype(np.uint8).tobytes()
+
 
 class FskDemodulatorCli(_DemodCli):
     """2FSK (src/fsk_demodulator/fsk_demodulator_cli.cpp), default 40 sps."""
@@ -88,6 +108,8 @@ class FskDemodulatorCli(_DemodCli):
                                    invert)
 
         self._setup_driver(args.samples, fn)
+        from ..dsp.demod import FskDemodNp
+        self._oracle = (FskDemodNp, invert)
 
 
 class GfskDemodulatorCli(_DemodCli):
@@ -104,6 +126,8 @@ class GfskDemodulatorCli(_DemodCli):
             return gfsk_demod_block(block, state, n_centuries, args.samples)
 
         self._setup_driver(args.samples, fn)
+        from ..dsp.demod import GfskDemodNp
+        self._oracle = (GfskDemodNp, False)
 
 
 class DigitalVoiceFilterCli(Cli):

@@ -117,3 +117,22 @@ def test_symbol_channel_bank_flush(tmp_path):
     all_bits = FskDemodNp(10).process(samples[0])
     want = make_decoder().process(all_bits)
     assert out[0] == want and out[1] == want and len(want) > 0
+
+
+def test_cli_demod_flush_matches_reference_binary(tmp_path):
+    """The fsk_demodulator CLI drains its tail at EOF: byte-identical
+    symbol stream to the reference binary on UNPADDED input."""
+    from test_dstar import full_voice_stream
+    bits = np.concatenate(full_voice_stream(10))
+    lv = np.array([-1.0, 1.0])
+    rng = np.random.default_rng(5)
+    x = (np.repeat(lv[bits.astype(int)], 10) * 800
+         + rng.normal(0, 80, len(bits) * 10)).astype(np.float32)
+    ref = subprocess.run(
+        [os.path.join(HARNESS_DIR, "dsp_harness"), "fsk", "10"],
+        input=x.tobytes(), capture_output=True).stdout
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    ours = subprocess.run(["fsk_demodulator", "-s", "10"],
+                          input=x.tobytes(), capture_output=True,
+                          env=env, timeout=500).stdout
+    assert ours == ref and len(ref) > 1500
