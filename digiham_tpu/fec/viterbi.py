@@ -46,6 +46,21 @@ TRANSITIONS_16 = np.array(
 TRANSITIONS_4 = TRANSITIONS_16[:4].copy()
 
 
+def _check_blocked_steps(num_states: int, blocked_steps: int) -> None:
+    """The NXDN rotating start-state mask self-extinguishes after
+    ``bits_per_state`` steps, and the native C++ kernel
+    (digiham_native.cpp:126,146) always runs the full rotation when
+    ``blocked_steps`` is truthy. Restricting the accepted values to 0 or
+    ``bits_per_state`` keeps every dispatch path (jax / numpy / native)
+    semantically identical; no reference call site uses anything else
+    (nxdn trellis.cpp:34 always blocks the 4 known leading zeros)."""
+    bits_per_state = num_states.bit_length() - 1
+    if blocked_steps not in (0, bits_per_state):
+        raise ValueError(
+            f"blocked_steps must be 0 or {bits_per_state} for "
+            f"{num_states}-state decode, got {blocked_steps}")
+
+
 def _branch_tables(num_states: int, transitions: np.ndarray):
     """Precompute per-(new_state, k) predecessor and expected dibit."""
     bits = num_states.bit_length() - 1
@@ -72,6 +87,7 @@ def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
 
     Returns (bits [..., T] int32, metric [...] int32).
     """
+    _check_blocked_steps(num_states, blocked_steps)
     transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
     prev_tbl, exp_tbl = _branch_tables(num_states, transitions)
     prev_tbl = jnp.asarray(prev_tbl)
@@ -143,6 +159,7 @@ def viterbi_decode_np(observed, num_states: int = 16, blocked_steps: int = 0):
     one of these. Dispatches to the native C++ kernel when available
     (~100x the numpy path for single sequences); the numpy path below is
     the portable fallback and the batch path."""
+    _check_blocked_steps(num_states, blocked_steps)
     obs_arr = np.asarray(observed, dtype=np.int64)
     if obs_arr.ndim == 1:
         from .. import native

@@ -9,6 +9,7 @@ compiler is available (``HAVE_NATIVE`` reports which path is active).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -20,9 +21,15 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "digiham_native.cpp")
 _SO = os.path.join(_HERE, "src", "digiham_native.so")
+_HASH = _SO + ".srchash"
 
 _lib = None
 _lock = threading.Lock()
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> str | None:
@@ -36,7 +43,25 @@ def _build() -> str | None:
         print("digiham_native build failed:\n" + res.stderr.decode(),
               file=sys.stderr)
         return None
+    try:
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
+    except OSError:
+        pass
     return _SO
+
+
+def _so_is_fresh() -> bool:
+    """The .so is usable only if it was built from the current source —
+    checked by content hash, not mtime (a stale or foreign-architecture
+    binary must never be trusted just because it exists)."""
+    if not os.path.exists(_SO):
+        return False
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def _load():
@@ -44,51 +69,63 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        path = _SO
-        if (not os.path.exists(path)
-                or os.path.getmtime(path) < os.path.getmtime(_SRC)):
-            path = _build()
+        path = _SO if _so_is_fresh() else _build()
         if path is None or not os.path.exists(path):
             return None
-        lib = ctypes.CDLL(path)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.dh_hamming_distance.restype = ctypes.c_int32
-        lib.dh_hamming_distance.argtypes = [u8p, u8p, ctypes.c_size_t]
-        lib.dh_sync_scan.restype = ctypes.c_int64
-        lib.dh_sync_scan.argtypes = [u8p, ctypes.c_size_t, u8p,
-                                     ctypes.c_size_t, ctypes.c_int32]
-        lib.dh_sync_distances.restype = None
-        lib.dh_sync_distances.argtypes = [
-            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int32)]
-        for name in ("dh_pack_dibits", "dh_pack_bits_msb",
-                     "dh_pack_bits_lsb", "dh_unpack_dibits"):
-            fn = getattr(lib, name)
-            fn.restype = None
-            fn.argtypes = [u8p, ctypes.c_size_t, u8p]
-        lib.dh_rb_create.restype = ctypes.c_void_p
-        lib.dh_rb_create.argtypes = [ctypes.c_size_t]
-        lib.dh_rb_destroy.restype = None
-        lib.dh_rb_destroy.argtypes = [ctypes.c_void_p]
-        for name in ("dh_rb_available", "dh_rb_writeable"):
-            fn = getattr(lib, name)
-            fn.restype = ctypes.c_uint64
-            fn.argtypes = [ctypes.c_void_p]
-        lib.dh_rb_write.restype = ctypes.c_uint64
-        lib.dh_rb_write.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
-        lib.dh_rb_peek.restype = ctypes.c_uint64
-        lib.dh_rb_peek.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
-        lib.dh_rb_consume.restype = ctypes.c_uint64
-        lib.dh_rb_consume.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-        lib.dh_deinterleave_f32.restype = None
-        lib.dh_deinterleave_f32.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
-            ctypes.c_size_t, ctypes.POINTER(ctypes.c_float)]
-        lib.dh_viterbi.restype = ctypes.c_int64
-        lib.dh_viterbi.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
-                                   ctypes.c_int32, u8p]
-        _lib = lib
-        return lib
+        try:
+            return _bind(ctypes.CDLL(path))
+        except (OSError, AttributeError):
+            # wrong-arch or symbol-incomplete binary: rebuild once, else
+            # fall back to the pure-numpy path (return None).
+            if _build() is None:
+                return None
+            try:
+                return _bind(ctypes.CDLL(_SO))
+            except (OSError, AttributeError):
+                return None
+
+
+def _bind(lib):
+    """Set argtypes/restypes; raises AttributeError on missing symbols."""
+    global _lib
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dh_hamming_distance.restype = ctypes.c_int32
+    lib.dh_hamming_distance.argtypes = [u8p, u8p, ctypes.c_size_t]
+    lib.dh_sync_scan.restype = ctypes.c_int64
+    lib.dh_sync_scan.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                 ctypes.c_size_t, ctypes.c_int32]
+    lib.dh_sync_distances.restype = None
+    lib.dh_sync_distances.argtypes = [
+        u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int32)]
+    for name in ("dh_pack_dibits", "dh_pack_bits_msb",
+                 "dh_pack_bits_lsb", "dh_unpack_dibits"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.dh_rb_create.restype = ctypes.c_void_p
+    lib.dh_rb_create.argtypes = [ctypes.c_size_t]
+    lib.dh_rb_destroy.restype = None
+    lib.dh_rb_destroy.argtypes = [ctypes.c_void_p]
+    for name in ("dh_rb_available", "dh_rb_writeable"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_uint64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.dh_rb_write.restype = ctypes.c_uint64
+    lib.dh_rb_write.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.dh_rb_peek.restype = ctypes.c_uint64
+    lib.dh_rb_peek.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.dh_rb_consume.restype = ctypes.c_uint64
+    lib.dh_rb_consume.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.dh_deinterleave_f32.restype = None
+    lib.dh_deinterleave_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.POINTER(ctypes.c_float)]
+    lib.dh_viterbi.restype = ctypes.c_int64
+    lib.dh_viterbi.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                               ctypes.c_int32, u8p]
+    _lib = lib
+    return lib
 
 
 def _u8(a: np.ndarray):

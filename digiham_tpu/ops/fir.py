@@ -70,7 +70,7 @@ def pallas_fir(x_tc: jnp.ndarray, taps: jnp.ndarray,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block_t, C), lambda i: (i, 0), memory_space=pltpu.VMEM),

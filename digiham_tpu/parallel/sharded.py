@@ -117,7 +117,7 @@ def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray,
         # fresh per-shard state is replicated from shard_map's viewpoint;
         # mark it device-varying so the scan carry types line up
         state0 = jax.tree.map(
-            lambda a: jax.lax.pvary(a, ("channel", "time")),
+            lambda a: jax.lax.pcast(a, ("channel", "time"), to="varying"),
             demod_init(c_local))
         dibits, _ = gfsk_demod_block(y, state0, n_centuries, sps)
         sync_dist = dmr_sync_correlate(dibits)
@@ -169,7 +169,7 @@ def sharded_fsk_step(mesh: Mesh, samples: jnp.ndarray,
 
     def local(x):
         state0 = jax.tree.map(
-            lambda a: jax.lax.pvary(a, ("channel", "time")),
+            lambda a: jax.lax.pcast(a, ("channel", "time"), to="varying"),
             demod_init(x.shape[0]))
         bits, _ = fsk_demod_block(x, state0, n_centuries, sps, invert)
         if protocol == "dstar":

@@ -8,6 +8,14 @@ device-side analogue of checkpointing a training step's optimizer state.
 
 Host-side phase machines (protocol decoders) are plain Python objects with
 small integer/bytes state; they serialize via ``pickle`` alongside.
+
+.. warning::
+   Checkpoints deserialize with :mod:`pickle`, so loading a blob is
+   arbitrary code execution. Only load checkpoints you produced yourself
+   (same trust domain as the process); never accept them from the network
+   or other untrusted sources. This matches the threat model of the
+   training-stack checkpoints this mirrors — a checkpoint is operator
+   data, not user data.
 """
 from __future__ import annotations
 
