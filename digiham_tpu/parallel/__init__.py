@@ -4,3 +4,7 @@ from .sharded import (
     sharded_pipeline_step,
     sharded_fsk_step,
 )
+from .streaming import (
+    TimeShardedDmrPipeline,
+    TimeShardedDmrStream,
+)

@@ -72,15 +72,21 @@ class ChannelBank:
             new_pos = np.asarray(self.state.demod.pos)
             base = int(new_pos.min())
             if base > 0:
+                self._rebase(base, block)
                 self.buffer.consume(base)
-                self._rebase(base)
         return results
 
-    def _rebase(self, base: int) -> None:
+    def _rebase(self, base: int, block) -> None:
         import jax.numpy as jnp
+
+        from .stream import rrc_rebase_history
 
         demod = self.state.demod
         demod.pos = demod.pos - jnp.int32(base)
+        rrc = rrc_rebase_history(self.pipeline, self.state,
+                                 np.asarray(block), base)
+        if rrc is not None:
+            self.state.rrc = rrc
 
     def flush(self) -> None:
         """End-of-stream: decode the buffered sample tail exactly as the

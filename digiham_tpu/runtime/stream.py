@@ -16,6 +16,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def rrc_rebase_history(pipeline, state, block: np.ndarray, base: int):
+    """Return ``state.rrc`` realigned for a buffer rebase of ``base``.
+
+    A pipeline ``step`` returns the RRC delay line as of the *end* of the
+    block it filtered, but the banks consume only ``base < len(block)``
+    samples — the next block starts mid-way through the previous one, so
+    the correct delay line is the ``ntaps-1`` raw input samples
+    immediately *before* the new origin (rrc_filter.cpp:25-31 shifts raw
+    inputs). The history is plain input data, so the host rewrites it
+    from the pre-consume block view. Returns None when the pipeline runs
+    no RRC stage (then the carried value is inert).
+    """
+    from ..dsp.rrc import RrcState
+
+    rrc_state = getattr(state, "rrc", None)
+    if rrc_state is None:
+        return None
+    active = (pipeline.use_rrc if hasattr(pipeline, "use_rrc")
+              else getattr(pipeline, "rrc", None) is not None)
+    if not active:
+        return None
+    import jax.numpy as jnp
+
+    nt1 = rrc_state.history.shape[-1]
+    hist = np.asarray(block[:, max(0, base - nt1):base], np.float32)
+    if hist.shape[1] < nt1:  # stream younger than the delay line: zero-pad
+        pad = np.zeros((hist.shape[0], nt1 - hist.shape[1]), np.float32)
+        hist = np.concatenate([pad, hist], axis=1)
+    return RrcState(jnp.asarray(hist))
+
+
 class SampleBuffer:
     """Grow-on-write, shift-on-consume [channels, cap] sample store.
 

@@ -370,6 +370,11 @@ class TrackedChannelBank:
             new_pos = np.asarray(self.state.demod.pos)
             base = int(new_pos.min())
             if base > 0:
+                from .stream import rrc_rebase_history
+                rrc = rrc_rebase_history(self.pipeline, self.state,
+                                         np.asarray(block), base)
+                if rrc is not None:
+                    self.state.rrc = rrc
                 self.samples.consume(base)
                 self.state.demod.pos = self.state.demod.pos - jnp.int32(base)
 

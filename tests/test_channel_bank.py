@@ -86,3 +86,34 @@ class TestChannelBank:
         bank.push(samples)
         assert len(outputs[0]) >= 27 * 3
         assert pack_dibits(payload) in outputs[0]
+
+
+class TestStreamedRrcCarry:
+    def test_streamed_blocks_match_one_shot(self):
+        """Block-streamed decode through the bank must be bit-identical to
+        one big-block run: regression for the RRC delay-line realignment
+        on buffer rebase (rrc_rebase_history) — the consumed prefix is
+        shorter than the filtered block, so the carried history must be
+        the raw samples before the new origin, not the block tail."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        C, sps, n_cent, blocks = 2, 10, 2, 4
+        need = n_cent * (100 * sps + 1) + 2
+        x = rng.normal(0, 1000, (C, blocks * need)).astype(np.float32)
+
+        big = DmrPipeline(channels=C, sps=sps, n_centuries=blocks * n_cent,
+                          use_rrc=True)
+        out_big, _ = big.step(jnp.asarray(x), big.init_state())
+        want = np.asarray(out_big["dibits"])
+
+        bank = ChannelBank(
+            DmrPipeline(channels=C, sps=sps, n_centuries=n_cent,
+                        use_rrc=True),
+            [None] * C)
+        results = bank.push(x)
+        got = np.concatenate(
+            [np.asarray(r["dibits"]) for r in results], axis=1)
+        n = min(got.shape[1], want.shape[1])
+        assert n >= blocks * n_cent * 100 - n_cent * 100
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
