@@ -273,10 +273,17 @@ class TrackedChannelBank:
 
     pipeline: pipeline class whose step outputs ``dibits``.
     adapter: protocol adapter (default DMR).
+    mesh: optional ``jax.sharding.Mesh`` — shards every device call
+        (pipeline step AND the batched frame-field decode) over the
+        mesh's channel axis, so the production many-channel topology
+        (BASELINE 256-channel DMR) runs channel-data-parallel across
+        chips with the host trackers unchanged. Channel sharding is pure
+        DP over independent per-channel math, so outputs are identical
+        to the unsharded bank (tests/test_tracked_bank_mesh.py).
     """
 
     def __init__(self, pipeline, on_output=None, slot_filter: int = 3,
-                 adapter=None):
+                 adapter=None, mesh=None):
         import jax.numpy as jnp
 
         self.adapter = adapter or DmrAdapter()
@@ -295,6 +302,24 @@ class TrackedChannelBank:
                             // self._frame_size + 2)
         self._batch = self.channels * self._max_frames
         self._jnp = jnp
+        self.mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = ("channel" if "channel" in mesh.axis_names
+                    else mesh.axis_names[0])
+            n_shards = mesh.shape[axis]
+            if self.channels % n_shards:
+                raise ValueError(
+                    f"{self.channels} channels not divisible by the "
+                    f"{n_shards}-way '{axis}' mesh axis")
+            self._shard = lambda ndim: NamedSharding(
+                mesh, PartitionSpec(axis, *(None,) * (ndim - 1)))
+            self.state = jax.device_put(
+                self.state,
+                jax.tree.map(lambda a: self._shard(a.ndim), self.state))
 
     def set_meta_writer(self, channel: int, writer) -> None:
         if self.chans[channel].meta is not None:
@@ -340,6 +365,11 @@ class TrackedChannelBank:
                 f"checkpoint has {payload['samples'].shape[0]} channels, "
                 f"bank has {self.channels}")
         self.state = load_state(payload["pipeline_state"])
+        if self._shard is not None:
+            import jax
+            self.state = jax.device_put(
+                self.state,
+                jax.tree.map(lambda a: self._shard(a.ndim), self.state))
         prev = self.chans
         self.chans = pickle.loads(payload["chans"])
         for new, old in zip(self.chans, prev):
@@ -362,8 +392,11 @@ class TrackedChannelBank:
             if self.samples.fill < need:
                 return
             block = self.samples.view(need)
-            out, self.state = self.pipeline.step(jnp.asarray(block),
-                                                 self.state)
+            block_j = jnp.asarray(block)
+            if self._shard is not None:
+                import jax
+                block_j = jax.device_put(block_j, self._shard(2))
+            out, self.state = self.pipeline.step(block_j, self.state)
             hits = self.adapter.block_hits(out) \
                 if hasattr(self.adapter, "block_hits") else None
             self._consume_dibits(np.asarray(out["dibits"]), hits)
@@ -470,6 +503,10 @@ class TrackedChannelBank:
         if not idx:
             return 0
 
+        if self._shard is not None:
+            import jax
+            frames = jax.device_put(self._jnp.asarray(frames),
+                                    self._shard(2))
         host = self.adapter.decode_fields(frames, self._jnp)
 
         fed = 0

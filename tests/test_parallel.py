@@ -99,3 +99,69 @@ class TestShardedFsk:
                                     protocol="pocsag",
                                     n_centuries=n_cent)
         assert ok.shape[0] == C and hits.shape == (C,)
+
+
+class TestShardedValueEquivalence:
+    """VERDICT round-1 item 3: exact-array asserts for the DMR and POCSAG
+    mesh steps, mirroring the existing D-Star check."""
+
+    def test_dmr_step_matches_single_device(self, devices):
+        from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+        from digiham_tpu.pipeline.dmr import (dmr_decode_frames,
+                                              dmr_sync_correlate)
+        from digiham_tpu.protocols.dmr.phases import FRAME_SIZE
+
+        mesh = make_mesh(n_channel_shards=2, n_time_shards=4)
+        rng = np.random.default_rng(21)
+        C, n_cent, sps = 4, 2, 10
+        T_local = n_cent * (100 * sps + 1) + 1
+        x = rng.normal(0, 500, (C, 4 * T_local)).astype(np.float32)
+        voice, hits = sharded_pipeline_step(mesh, jnp.asarray(x),
+                                            sps, n_cent)
+        # single-device reference: full-width RRC (zero state == shard-0
+        # halo of zeros; interior halos == overlap-save), then per-shard
+        # fresh-state demod + frame decode (bulk mode semantics)
+        y_full, _ = rrc_filter_block(
+            jnp.asarray(x), RrcState.init(C, WIDE_RRC), WIDE_RRC)
+        want_hits = np.zeros(C, np.int64)
+        for t in range(4):
+            ys = y_full[:, t * T_local:(t + 1) * T_local]
+            dibits, _ = gfsk_demod_block(ys, demod_init(C), n_cent, sps)
+            sync_dist = np.asarray(dmr_sync_correlate(dibits))
+            want_hits += ((sync_dist <= 3).any(-1)).sum(-1)
+            n = dibits.shape[1] // FRAME_SIZE
+            frames = dibits[:, :n * FRAME_SIZE].reshape(C, n, FRAME_SIZE)
+            want = np.asarray(
+                dmr_decode_frames(frames)["voice_payload"])
+            got = np.asarray(voice)[:, t * n:(t + 1) * n]
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"time shard {t}")
+        np.testing.assert_array_equal(np.asarray(hits), want_hits)
+
+    def test_pocsag_step_matches_single_device(self, devices):
+        from digiham_tpu.dsp.demod import demod_init, fsk_demod_block
+        from digiham_tpu.parallel import sharded_fsk_step
+        from digiham_tpu.pipeline.fsk import (bit_sync_correlate,
+                                              pocsag_decode_frames)
+        from digiham_tpu.protocols.pocsag import SYNC_PATTERN
+
+        mesh = make_mesh(n_channel_shards=4, n_time_shards=2)
+        rng = np.random.default_rng(22)
+        C, n_cent, sps = 4, 1, 40
+        T_local = n_cent * (100 * sps + 1) + 1
+        x = rng.normal(0, 500, (C, 2 * T_local)).astype(np.float32)
+        ok, hits = sharded_fsk_step(mesh, jnp.asarray(x),
+                                    protocol="pocsag", n_centuries=n_cent)
+        want_hits = np.zeros(C, np.int64)
+        for t in range(2):
+            xs = jnp.asarray(x[:, t * T_local:(t + 1) * T_local])
+            bits, _ = fsk_demod_block(xs, demod_init(C), n_cent, sps, True)
+            want_hits += (np.asarray(
+                bit_sync_correlate(bits, SYNC_PATTERN)) <= 3).sum(-1)
+            n = bits.shape[1] // 32
+            want = np.asarray(pocsag_decode_frames(
+                bits[:, :n * 32].reshape(C, n, 32))["ok"])
+            got = np.asarray(ok)[:, t * n:(t + 1) * n]
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"time shard {t}")
+        np.testing.assert_array_equal(np.asarray(hits), want_hits)
