@@ -18,6 +18,33 @@ from ..runtime.meta import FileMetaWriter
 BUF_SIZE = 65536
 
 
+def default_backend() -> str:
+    """Backend for the DSP tools: ``numpy`` (host, reference-exact oracles,
+    millisecond startup) or ``jax`` (device path, for batched/TPU use).
+
+    The reference binaries start in milliseconds (src/lib/cli.cpp:19-38);
+    a shell pipeline user gets the same behavior from the numpy oracles,
+    which are bit-exact vs the reference per-sample loops. ``jax`` is the
+    opt-in for throughput work. Override with DIGIHAM_CLI_BACKEND.
+    """
+    import os
+    return os.environ.get("DIGIHAM_CLI_BACKEND", "numpy")
+
+
+def enable_compilation_cache() -> None:
+    """Persistent jit cache for the jax CLI backend (same knobs as
+    bench.py) so repeated tool invocations skip recompilation."""
+    import os
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 class Cli:
     """Base tool: argparse + binary stdin->stdout loop."""
 

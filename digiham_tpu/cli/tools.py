@@ -11,7 +11,14 @@ import threading
 
 import numpy as np
 
-from .base import Cli, DecoderCli
+from .base import Cli, DecoderCli, default_backend, enable_compilation_cache
+
+
+def _add_backend_arg(parser):
+    parser.add_argument("--backend", choices=("numpy", "jax"),
+                        default=default_backend(),
+                        help="numpy: host oracle, instant startup "
+                             "(default); jax: device path")
 
 
 def _jnp():
@@ -30,18 +37,48 @@ class RrcFilterCli(Cli):
     def add_arguments(self, parser):
         parser.add_argument("-n", "--narrow", action="store_true",
                             help="use narrow (6.25 kHz) filter")
+        _add_backend_arg(parser)
 
     def setup(self, args):
-        from ..dsp.rrc import NARROW_RRC, WIDE_RRC, RrcState, rrc_filter
+        from ..dsp.rrc import NARROW_RRC, WIDE_RRC
         self.design = NARROW_RRC if args.narrow else WIDE_RRC
-        self.state = RrcState.init(1, self.design)
-        self.filter = rrc_filter
+        if args.backend == "numpy":
+            from ..dsp.rrc import RrcStreamNp
+            self.stream = RrcStreamNp(self.design)
+        else:
+            enable_compilation_cache()
+            from ..dsp.rrc import RrcState, rrc_filter
+            self.stream = None
+            self.state = RrcState.init(1, self.design)
+            self.filter = rrc_filter
 
     def process(self, data: np.ndarray) -> bytes:
+        if self.stream is not None:
+            return self.stream.process(data).tobytes()
         jnp = _jnp()
         y, self.state = self.filter(
             jnp.asarray(data)[None, :], self.state, self.design)
         return np.asarray(y)[0].astype(np.float32).tobytes()
+
+
+class _OracleStream:
+    """Streaming adapter over the reference-exact per-symbol oracles
+    (FskDemodNp/GfskDemodNp): buffers samples, demodulates what's ready,
+    trims consumed input. The oracle's ``pos`` only moves forward (the
+    advance is ``sps + variance_offset`` with offset in {-1,0,+1} and the
+    read window starts at ``pos``), so trimming to ``pos`` is safe."""
+
+    def __init__(self, oracle):
+        self.oracle = oracle
+        self.buf = np.zeros(0, np.float32)
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        self.buf = np.concatenate(
+            [self.buf, np.asarray(samples, np.float32)])
+        out = self.oracle.process(self.buf)
+        self.buf = self.buf[self.oracle.pos:]
+        self.oracle.pos = 0
+        return out
 
 
 class _DemodCli(Cli):
@@ -53,14 +90,26 @@ class _DemodCli(Cli):
         parser.add_argument("-s", "--samples", type=int,
                             default=self.default_sps,
                             help="samples per symbol")
+        _add_backend_arg(parser)
 
-    def _setup_driver(self, sps, demod_fn):
+    def _setup_driver(self, args, demod_fn):
+        """numpy backend: drive the oracle directly (instant startup,
+        bit-exact vs the reference per-sample loop). jax backend: the
+        device StreamDriver century pipeline."""
+        cls, invert = self._oracle
+        if args.backend == "numpy":
+            self.driver = None
+            self.stream = _OracleStream(cls(args.samples, invert=invert))
+            return
+        enable_compilation_cache()
         from ..dsp.demod import demod_init
         from ..runtime.stream import StreamDriver
-        self.driver = StreamDriver(1, sps, demod_fn, demod_init(1),
+        self.driver = StreamDriver(1, args.samples, demod_fn, demod_init(1),
                                    n_centuries=1)
 
     def process(self, data: np.ndarray) -> bytes:
+        if self.driver is None:
+            return self.stream.push(data).astype(np.uint8).tobytes()
         jnp = _jnp()
         blocks = self.driver.push(np.asarray(data, np.float32)[None, :])
         return b"".join(np.asarray(b)[0].astype(np.uint8).tobytes()
@@ -72,8 +121,9 @@ class _DemodCli(Cli):
         """EOF: the device path needs full centuries; demodulate the
         buffered tail with the reference-exact per-symbol oracle seeded
         from the (century-aligned) device carry, so the tool loses only
-        the reference's own sps+1 lookahead at end of input."""
-        if self._oracle is None:
+        the reference's own sps+1 lookahead at end of input. The numpy
+        backend already consumed to within that lookahead."""
+        if self._oracle is None or self.driver is None:
             return b""
         cls, invert = self._oracle
         drv = self.driver
@@ -100,16 +150,15 @@ class FskDemodulatorCli(_DemodCli):
                             help="invert bit polarity")
 
     def setup(self, args):
-        from ..dsp.demod import fsk_demod_block
+        from ..dsp.demod import FskDemodNp, fsk_demod_block
         invert = args.invert
+        self._oracle = (FskDemodNp, invert)
 
         def fn(block, state, n_centuries):
             return fsk_demod_block(block, state, n_centuries, args.samples,
                                    invert)
 
-        self._setup_driver(args.samples, fn)
-        from ..dsp.demod import FskDemodNp
-        self._oracle = (FskDemodNp, invert)
+        self._setup_driver(args, fn)
 
 
 class GfskDemodulatorCli(_DemodCli):
@@ -120,14 +169,13 @@ class GfskDemodulatorCli(_DemodCli):
     default_sps = 10
 
     def setup(self, args):
-        from ..dsp.demod import gfsk_demod_block
+        from ..dsp.demod import GfskDemodNp, gfsk_demod_block
+        self._oracle = (GfskDemodNp, False)
 
         def fn(block, state, n_centuries):
             return gfsk_demod_block(block, state, n_centuries, args.samples)
 
-        self._setup_driver(args.samples, fn)
-        from ..dsp.demod import GfskDemodNp
-        self._oracle = (GfskDemodNp, False)
+        self._setup_driver(args, fn)
 
 
 class DigitalVoiceFilterCli(Cli):
@@ -138,12 +186,23 @@ class DigitalVoiceFilterCli(Cli):
     in_dtype = np.int16
     out_dtype = np.int16
 
+    def add_arguments(self, parser):
+        _add_backend_arg(parser)
+
     def setup(self, args):
+        if args.backend == "numpy":
+            from ..dsp.audio import DigitalVoiceFilterNp
+            self.oracle = DigitalVoiceFilterNp()
+            return
+        enable_compilation_cache()
         from ..dsp.audio import DigitalVoiceState, digitalvoice_filter
+        self.oracle = None
         self.state = DigitalVoiceState.init(1)
         self.filter = digitalvoice_filter
 
     def process(self, data: np.ndarray) -> bytes:
+        if self.oracle is not None:
+            return self.oracle.process(data).tobytes()
         jnp = _jnp()
         y, self.state = self.filter(jnp.asarray(data)[None, :], self.state)
         return np.asarray(y)[0].astype(np.int16).tobytes()

@@ -197,3 +197,29 @@ def rrc_filter_np(samples: np.ndarray, design: RrcDesign = WIDE_RRC,
             acc = np.float32(acc + coeffs[j] * delay[j])
         out[t] = np.float32(acc / np.float32(design.gain))
     return out
+
+
+class RrcStreamNp:
+    """Fast host-side streaming RRC for single-channel CLI use.
+
+    Vectorized correlation in float64, rounded to float32 once per output
+    sample — within the f32 precision envelope of both the device path
+    (``rrc_filter_block``) and the reference's sequential f32 accumulation
+    (rrc_filter.cpp:22-34), without the jit compile or the per-sample
+    Python loop of :func:`rrc_filter_np`. Starts in milliseconds.
+    """
+
+    def __init__(self, design: RrcDesign = WIDE_RRC):
+        self.design = design
+        self._taps64 = design.scaled_taps.astype(np.float64)
+        self.history = np.zeros(design.ntaps - 1, np.float32)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        x = np.concatenate([self.history,
+                            np.asarray(samples, dtype=np.float32)])
+        # y[t] = sum_j taps[j] * x[t + j]  (newest sample -> last tap),
+        # same orientation as rrc_filter_block.
+        y = np.correlate(x.astype(np.float64), self._taps64,
+                         mode="valid").astype(np.float32)
+        self.history = x[len(x) - (self.design.ntaps - 1):]
+        return y

@@ -97,3 +97,42 @@ class TestDmrPipelineCli:
         out = run_tool("dmr_decoder_main", [], sym)
         assert len(out) >= 27
         assert pack_dibits(payload) in out
+
+class TestBackendEquivalence:
+    """--backend numpy (default, oracle fast path) vs --backend jax
+    (device century pipeline) on identical streams."""
+
+    def test_gfsk_backends_bit_exact(self):
+        rng = np.random.default_rng(7)
+        levels = np.array([1.0, 3.0, -1.0, -3.0]) * 1000 / 3
+        dib = rng.integers(0, 4, 600)
+        sig = (np.repeat(levels[dib], 10)
+               + rng.normal(0, 60, 6000)).astype(np.float32)
+        a = run_tool("gfsk_demodulator_main", ["-s", "10"], sig.tobytes())
+        b = run_tool("gfsk_demodulator_main",
+                     ["-s", "10", "--backend", "jax"], sig.tobytes())
+        assert a == b and len(a) > 500
+
+    def test_rrc_backends_within_f32_envelope(self):
+        rng = np.random.default_rng(8)
+        x = rng.normal(0, 1000, 4000).astype(np.float32)
+        a = np.frombuffer(
+            run_tool("rrc_filter_main", [], x.tobytes()), np.float32)
+        b = np.frombuffer(
+            run_tool("rrc_filter_main", ["--backend", "jax"], x.tobytes()),
+            np.float32)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-2)
+
+
+class TestDigitalVoiceCli:
+    def test_bandpass_backends(self):
+        rng = np.random.default_rng(9)
+        pcm = (rng.normal(0, 3000, 1600)).astype(np.int16)
+        a = np.frombuffer(
+            run_tool("digitalvoice_filter_main", [], pcm.tobytes()),
+            np.int16)
+        b = np.frombuffer(
+            run_tool("digitalvoice_filter_main", ["--backend", "jax"],
+                     pcm.tobytes()), np.int16)
+        assert len(a) == len(pcm)
+        np.testing.assert_allclose(a, b, atol=2)
