@@ -1,22 +1,32 @@
-"""Headline benchmark: DMR decode throughput on one chip.
+"""Headline benchmark: raw-IQ DMR decode throughput on one chip.
 
-Measures the fused device pipeline (RRC FIR -> 4FSK demod -> dense sync
-correlation -> batched per-frame FEC decode) over a 256-channel bank
-(BASELINE.json configs[4]) and reports Msamples/s/chip of FM-demodulated
-input consumed.
+Measures the fused device pipeline (FM quadrature discriminator -> RRC
+FIR -> 4FSK demod -> dense sync correlation -> batched per-frame FEC
+decode) over a 256-channel bank (BASELINE.json configs[4]) and reports
+Msamples/s/chip of raw IQ consumed — the BASELINE.json metric.
 
-Methodology notes (this session's TPU sits behind a tunnel):
-- inputs are generated ON DEVICE per rep (the tunnel's host<->device
-  bandwidth is ~MB/s and would otherwise dominate);
-- inputs and state differ every rep (the serving runtime caches results
-  of byte-identical calls);
-- each rep is block_until_ready'd; best-of-N absorbs tunnel RTT jitter;
-- a persistent compilation cache keeps reruns fast.
+RTT-proof methodology (this session's TPU sits behind a tunnel with
+~30-80 ms per-dispatch latency and a byte-identical-call result cache):
+- ONE jit program executes K dependent pipeline steps, manually unrolled
+  (state threaded step->step; lax.scan measured ~30 ms/step overhead on
+  this backend, so unroll instead);
+- IQ inputs are generated ON DEVICE inside the program, keyed by the
+  rep seed, so inputs differ every rep and nothing crosses the tunnel;
+- the program returns a SINGLE scalar checksum that consumes every
+  output tensor and the final carry state;
+- the HEADLINE is sustained wall-clock throughput: N calls dispatched
+  async, every checksum fetched to host (``int(ck)`` — on this backend
+  block_until_ready alone does NOT wait), total samples / total wall
+  seconds. No RTT probe is subtracted; per-call latency overlaps across
+  the in-flight calls exactly as a production serving loop would run.
+  Serial per-call latency is also reported for transparency.
+- measured invariance: per-step sustained time is flat across
+  unroll=8/32/64 (4.5-5.2 ms/step at 256ch x 8 centuries), confirming
+  the number is compute-bound, not dispatch-bound.
 
 Baseline: the reference is a real-time single-channel CPU pipeline at
-48 kS/s per channel (BASELINE.md) — it publishes no other numbers.
-``vs_baseline`` is the number of reference real-time channels one chip
-sustains: value_msps / 0.048.
+48 kS/s per channel (BASELINE.md). ``vs_baseline`` is the number of
+reference real-time channels one chip sustains: value_msps / 0.048.
 
 Prints ONE JSON line.
 """
@@ -43,28 +53,56 @@ def main():
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     sps = 10
     n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "12"))  # async in-flight calls
+    unroll = int(os.environ.get("BENCH_UNROLL", "32"))
 
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=n_cent)
-    state = pipe.init_state()
-    samples_per_step = n_cent * 100 * sps  # per channel
+    samples_per_step = n_cent * 100 * sps  # per channel, consumed
     L = n_cent * (100 * sps + 1) + 8
     # time-based seed base defeats the backend's cross-run result cache
     seed_base = int(time.time()) % 1000000
 
+    def rebase(st):
+        # bench blocks are self-contained: restart the demod read index
+        # each step (streaming drivers instead trim + carry the remainder)
+        st.demod.pos = jnp.zeros_like(st.demod.pos)
+        return st
+
+    def checksum(out):
+        return (out["dibits"].astype(jnp.int32).sum()
+                + out["sync_dist_dense"].sum()
+                + out["voice_payload"].astype(jnp.int32).sum()
+                + out["bptc_data"].sum()
+                + out["sync_type"].sum()
+                + out["tact_slot"].sum())
+
     @jax.jit
-    def gen_block(seed):
-        key = jax.random.key(seed)
-        return jax.random.normal(key, (channels, L), jnp.float32) * 100.0
+    def step_k(seed, state0):
+        """K dependent raw-IQ pipeline steps, one dispatch, scalar out."""
+        state = state0
+        last_iq = jnp.ones((channels,), jnp.complex64)
+        acc = jnp.int32(0)
+        for k in range(unroll):
+            key = jax.random.key(seed * unroll + k)
+            kr, ki = jax.random.split(key)
+            iq = (jax.random.normal(kr, (channels, L), jnp.float32)
+                  + 1j * jax.random.normal(ki, (channels, L), jnp.float32)
+                  ).astype(jnp.complex64)
+            out, last_iq, state = pipe.step_iq(iq, last_iq, state)
+            acc = acc + checksum(out)
+            state = rebase(state)
+        # consume the final carry so no step's state update is dead code
+        acc = (acc
+               + state.demod.volume_ring.sum().astype(jnp.int32)
+               + state.demod.offset.sum()
+               + state.rrc.history.sum().astype(jnp.int32))
+        return acc
 
     @jax.jit
     def rtt_probe(x):
         return x + 1
 
     def measure_rtt():
-        # per-call round trip of a trivial program with fresh scalar
-        # inputs: the tunnel's dispatch+ready latency varies per session
-        # (observed 0.1 ms to ~30 ms); subtract it from step timings
         probes = []
         for i in range(7):
             x = jnp.float32(seed_base + i)
@@ -75,74 +113,47 @@ def main():
         probes.sort()
         return probes[len(probes) // 2]
 
-    @jax.jit
-    def step_reduced(block, state):
-        # return ONLY a checksum + carry: every returned device buffer
-        # costs a ~2 ms round trip on this session's tunneled backend, so
-        # returning the full ~20-array outputs dict times the tunnel
-        # (~36 ms), not the chip (~0.15 ms). The checksum consumes every
-        # output tensor so nothing dead-code-eliminates.
-        out, s2 = pipe.step(block, state)
-        checksum = (out["dibits"].astype(jnp.int32).sum()
-                    + out["sync_dist_dense"].sum()
-                    + out["voice_payload"].astype(jnp.int32).sum()
-                    + out["bptc_data"].sum()
-                    + out["sync_type"].sum()
-                    + out["tact_slot"].sum())
-        return checksum, s2
-
-    def rebase(st):
-        st.demod.pos = jnp.zeros_like(st.demod.pos)
-        return st
-
-    # compile + warmup: the first executions absorb deferred backend
-    # compilation (observed ~2-6 min on this tunnel even after a fast
-    # cache-hit client compile)
+    state0 = pipe.init_state()
+    # compile + warmup twice: first executions absorb deferred backend
+    # compilation (observed 2-6 min on this tunnel even after a cache-hit
+    # client compile). int() forces the value to host — on this backend
+    # block_until_ready alone returns before execution finishes.
     for w in range(2):
-        block = gen_block(seed_base + 1000 + w)
-        jax.block_until_ready(block)
-        ck, state = step_reduced(block, state)
-        jax.block_until_ready(ck)
-        state = rebase(state)
+        int(step_k(seed_base + 900000 + w, state0))
 
-    times = []
-    checks = []
-    for rep in range(reps):
-        block = gen_block(seed_base + rep + 1)
-        jax.block_until_ready(block)
-        state = rebase(state)
+    # serial per-call latency (transparency: includes one full RTT each)
+    serial = []
+    for r in range(3):
         t0 = time.perf_counter()
-        ck, state = step_reduced(block, state)
-        jax.block_until_ready(ck)
-        times.append(time.perf_counter() - t0)
-        # self-audit: distinct checksums per rep prove fresh computation
-        checks.append(int(ck))
-    # median of reps 2..N: the first rep can overlap residual async work
-    # from warmup and read absurdly fast; median resists both that and
-    # tunnel-RTT spikes
-    steady = sorted(times[1:]) if len(times) > 2 else sorted(times)
-    dt_raw = steady[len(steady) // 2]
+        int(step_k(seed_base + 800000 + r, state0))
+        serial.append(time.perf_counter() - t0)
+
+    # headline: sustained async throughput, single wall-clock window
+    t0 = time.perf_counter()
+    cks = [step_k(seed_base + rep + 1, state0) for rep in range(reps)]
+    checks = [int(c) for c in cks]  # fetch every result to host
+    wall = time.perf_counter() - t0
     assert len(set(checks)) > 1 or reps == 1, (
         "identical outputs across reps — stale-result cache suspected")
     rtt = measure_rtt()
-    # attribute per-call tunnel latency to the session, not the chip;
-    # keep a floor of 10% of the raw time for sanity
-    dt = max(dt_raw - rtt, dt_raw * 0.1)
+    n_steps = reps * unroll
+    dt_step = wall / n_steps
 
     total_samples = channels * samples_per_step
-    msps = total_samples / dt / 1e6
+    msps = total_samples / dt_step / 1e6
     result = {
-        "metric": "dmr_pipeline_throughput",
+        "metric": "dmr_iq_pipeline_throughput",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 0.048, 1),
-        "vs_reference_core": round(msps / 9.5, 1),
         "channels": channels,
         "samples_per_step": samples_per_step,
-        "median_step_seconds": round(dt, 5),
-        "raw_median_step_seconds": round(dt_raw, 5),
+        "unroll": unroll,
+        "async_calls": reps,
+        "sustained_wall_seconds": round(wall, 4),
+        "per_step_seconds": round(dt_step, 6),
+        "serial_call_seconds": [round(t, 5) for t in serial],
         "tunnel_rtt_seconds": round(rtt, 5),
-        "all_step_seconds": [round(t, 5) for t in times],
         "rep_checksums": checks,
         "backend": jax.devices()[0].platform,
     }
