@@ -35,6 +35,13 @@ CODEWORDS_PER_SYNC = 16
 MAX_MESSAGE_LENGTH = 80
 IDLE_CODEWORD = 0b01111010100010011100000110010111  # codeword.hpp:22
 
+# Function bits that open a Message. The reference opens one ONLY for fn
+# bits 1 (numeric-typed as tone?) and 3 (alphanumeric) — pocsag_phase.cpp:70
+# — leaving the type-0 BCD decoder in message.cpp:46-60 dead in practice.
+# We reproduce that default; tests widen this to exercise the numeric
+# (type-0) path end-to-end so the BCD decoder cannot rot.
+OPEN_FUNCTION_BITS = (1, 3)
+
 # 32-bit preamble word as a bit array (pocsag_phase.hpp:15)
 SYNC_PATTERN = np.array(
     [0, 1, 1, 1, 1, 1, 0, 0, 1, 1, 0, 1, 0, 0, 1, 0,
@@ -235,7 +242,7 @@ class CodewordPhase(Phase):
             elif cw.is_address():
                 self._flush(output)
                 ftype = cw.function_bits()
-                if ftype in (1, 3):
+                if ftype in OPEN_FUNCTION_BITS:
                     address = (cw.address() << 3) | (self.codeword_counter // 2)
                     self.current_message = Message(address, ftype)
             else:
@@ -291,7 +298,7 @@ class PocsagFieldsFramePhase:
             elif word.is_address():
                 cw._flush(out)
                 ftype = word.function_bits()
-                if ftype in (1, 3):
+                if ftype in OPEN_FUNCTION_BITS:
                     address = (word.address() << 3) \
                         | (cw.codeword_counter // 2)
                     cw.current_message = Message(address, ftype)

@@ -90,6 +90,17 @@ class MetricsRegistry:
 
 REGISTRY = MetricsRegistry()
 
+# Production wiring: DIGIHAM_METRICS_EVERY=<seconds> turns on periodic
+# rate_per_s reports (one JSON line per stage on stderr) from every
+# StreamDriver / TrackedChannelBank in the process — the SURVEY §5
+# first-class rate instrumentation, observable without code changes.
+_env_every = __import__("os").environ.get("DIGIHAM_METRICS_EVERY")
+if _env_every:
+    try:
+        REGISTRY.report_every = float(_env_every)
+    except ValueError:
+        pass
+
 
 @contextlib.contextmanager
 def jax_trace(logdir: str):

@@ -108,6 +108,10 @@ class StreamDriver:
         self.state = state
         self.n_centuries = n_centuries
         self.buffer = SampleBuffer(channels)
+        from .metrics import REGISTRY
+        self.meter = REGISTRY.meter(
+            f"stream_driver[{channels}ch]", "channel-samples")
+        self._registry = REGISTRY
 
     @property
     def _need(self) -> int:
@@ -125,9 +129,12 @@ class StreamDriver:
             if self.buffer.fill < need:
                 break
             block = self.buffer.view(need)
-            symbols, self.state = self.demod_fn(
-                block, self.state, self.n_centuries)
-            out.append(np.asarray(symbols))
+            with self.meter.measure(
+                    self.channels * self.n_centuries * 100 * self.sps):
+                symbols, self.state = self.demod_fn(
+                    block, self.state, self.n_centuries)
+                out.append(np.asarray(symbols))
+            self._registry.maybe_report()
             # rebase: drop samples every channel has consumed
             new_pos = np.asarray(self.state.pos)
             base = int(new_pos.min())

@@ -298,6 +298,10 @@ class TrackedChannelBank:
         self._need = pipeline.n_centuries * (100 * sps + 1) + 2
         self._frame_size = self.adapter.frame_size
         self._lookahead = getattr(self.adapter, "lookahead", 0)
+        from .metrics import REGISTRY
+        self._meter = REGISTRY.meter(
+            f"tracked_bank[{self.channels}ch]", "channel-samples")
+        self._registry = REGISTRY
         self._max_frames = (pipeline.symbols_per_block
                             // self._frame_size + 2)
         self._batch = self.channels * self._max_frames
@@ -396,10 +400,14 @@ class TrackedChannelBank:
             if self._shard is not None:
                 import jax
                 block_j = jax.device_put(block_j, self._shard(2))
-            out, self.state = self.pipeline.step(block_j, self.state)
-            hits = self.adapter.block_hits(out) \
-                if hasattr(self.adapter, "block_hits") else None
-            self._consume_dibits(np.asarray(out["dibits"]), hits)
+            with self._meter.measure(
+                    self.channels * self.pipeline.n_centuries * 100
+                    * self.pipeline.sps):
+                out, self.state = self.pipeline.step(block_j, self.state)
+                hits = self.adapter.block_hits(out) \
+                    if hasattr(self.adapter, "block_hits") else None
+                self._consume_dibits(np.asarray(out["dibits"]), hits)
+            self._registry.maybe_report()
             new_pos = np.asarray(self.state.demod.pos)
             base = int(new_pos.min())
             if base > 0:

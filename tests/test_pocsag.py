@@ -196,3 +196,54 @@ class TestEndToEnd:
         bits = rng.integers(0, 2, 20000).astype(np.uint8)
         out = make_decoder().process(bits)
         assert b"message:" not in out or len(out) < 200
+
+
+def numeric_payloads(digits: str):
+    """Pack a digit string into 20-bit payloads: 5 reversed-BCD nibbles
+    per codeword (inverse of message.cpp:46-60 / protocols.pocsag
+    Message.append type 0)."""
+    rev = {v: k for k, v in
+           {0xA: "*", 0xB: "U", 0xC: " ", 0xD: "-", 0xE: ")",
+            0xF: "("}.items()}
+    out = []
+    for lo in range(0, len(digits), 5):
+        chunk = digits[lo:lo + 5].ljust(5, " ")
+        word = 0
+        for i, ch in enumerate(chunk):
+            nib = int(ch) if ch.isdigit() else rev[ch]
+            base = (4 - i) * 4
+            for k in range(4):
+                word |= ((nib >> (3 - k)) & 1) << (base + k)
+        out.append(word)
+    return out
+
+
+class TestNumericPath:
+    """The reference never opens numeric (fn=0) messages
+    (pocsag_phase.cpp:70) — reproduced by default. Exercise the type-0
+    BCD decoder end-to-end behind the OPEN_FUNCTION_BITS test switch so
+    the dead path cannot rot."""
+
+    def test_numeric_message_end_to_end(self, monkeypatch):
+        from digiham_tpu.protocols import pocsag as pmod
+
+        digits = "0123456789*U -)("
+        cws = [address_codeword(321, 0)]
+        cws += [data_codeword(p) for p in numeric_payloads(digits)]
+        cws.append(IDLE_CODEWORD)
+        bits = build_stream(cws).astype(np.uint8)
+
+        monkeypatch.setattr(pmod, "OPEN_FUNCTION_BITS", (0, 1, 3))
+        out = pmod.make_decoder().process(bits)
+        assert b"address:2568" in out  # (321<<3) | frame position 0
+        assert f"message:{digits}".encode().rstrip() in out
+
+    def test_numeric_closed_by_default(self):
+        from digiham_tpu.protocols import pocsag as pmod
+        digits = "5551234"
+        cws = [address_codeword(321, 0)]
+        cws += [data_codeword(p) for p in numeric_payloads(digits)]
+        cws.append(IDLE_CODEWORD)
+        bits = build_stream(cws).astype(np.uint8)
+        out = pmod.make_decoder().process(bits)
+        assert b"message:" not in out  # reference dead path reproduced

@@ -88,3 +88,45 @@ class TestSyndromeTool:
         assert main(["--dump", "hamming_7_4"]) == 0
         out = capsys.readouterr().out
         assert out.count("{") >= 7  # at least the single-bit patterns
+
+
+class TestMetricsWiring:
+    """SURVEY §5 first-class rate instrumentation: the production paths
+    (StreamDriver, TrackedChannelBank) feed the process registry."""
+
+    def test_stream_driver_feeds_meter(self):
+        import numpy as np
+        from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+        from digiham_tpu.runtime.metrics import REGISTRY
+        from digiham_tpu.runtime.stream import StreamDriver
+
+        def fn(block, state, n_centuries):
+            return gfsk_demod_block(block, state, n_centuries, 10)
+
+        drv = StreamDriver(2, 10, fn, demod_init(2), n_centuries=1)
+        meter = REGISTRY.meters["stream_driver[2ch]"]
+        before = meter.items
+        drv.push(np.zeros((2, 1500), np.float32))
+        assert meter.items == before + 2 * 100 * 10
+        assert meter.rate > 0
+
+    def test_tracked_bank_feeds_meter_and_reports(self, capsys):
+        import numpy as np
+        from digiham_tpu.pipeline import DmrPipeline
+        from digiham_tpu.runtime.metrics import REGISTRY
+        from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+
+        bank = TrackedChannelBank(
+            DmrPipeline(channels=1, sps=10, n_centuries=2, use_rrc=False))
+        meter = REGISTRY.meters["tracked_bank[1ch]"]
+        before = meter.items
+        lines = []
+        old_every, old_sink = REGISTRY.report_every, REGISTRY.sink
+        REGISTRY.report_every, REGISTRY.sink = 1e-9, lines.append
+        try:
+            bank.push(np.zeros((1, 2 * (100 * 10 + 1) + 100), np.float32))
+        finally:
+            REGISTRY.report_every, REGISTRY.sink = old_every, old_sink
+        assert meter.items == before + 2 * 100 * 10
+        assert any('"rate_per_s"' in ln and "tracked_bank[1ch]" in ln
+                   for ln in lines)
