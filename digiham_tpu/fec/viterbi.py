@@ -125,7 +125,11 @@ def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
         return new_metrics, take_k1
 
     def decode_one(ob_seq):
-        init = jnp.zeros((num_states,), dtype=jnp.int32)
+        # derive the init carry from the observations so it inherits
+        # their device-varying type under shard_map (a bare constant is
+        # replicated and trips the scan carry type check)
+        init = jnp.zeros((num_states,), dtype=jnp.int32) \
+            + (ob_seq[0] & 0).astype(jnp.int32)
         final_metrics, decisions = jax.lax.scan(
             forward, init, (ob_seq, allow_k1)
         )

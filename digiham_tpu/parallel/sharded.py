@@ -198,3 +198,71 @@ def sharded_fsk_step(mesh: Mesh, samples: jnp.ndarray,
         out_specs=(out_spec, P("channel")),
     )
     return jax.jit(f)(samples)
+
+
+def _gfsk_config(protocol: str):
+    """(rrc design, sps, frame size, sync correlate, frame decode) for the
+    three 4FSK protocols. Lazy imports keep module load light."""
+    if protocol == "dmr":
+        return (WIDE_RRC, 10, FRAME_SIZE, dmr_sync_correlate,
+                dmr_decode_frames)
+    if protocol == "ysf":
+        from ..pipeline.ysf import ysf_decode_frames, ysf_sync_correlate
+        from ..protocols.ysf.phases import FRAME_SIZE as YSF_FRAME
+        return WIDE_RRC, 10, YSF_FRAME, ysf_sync_correlate, ysf_decode_frames
+    if protocol == "nxdn":
+        from ..dsp.rrc import NARROW_RRC
+        from ..pipeline.nxdn import (nxdn_decode_frames,
+                                     nxdn_sync_correlate)
+        from ..protocols.nxdn.phases import FRAME_SIZE as NXDN_FRAME
+        return (NARROW_RRC, 20, NXDN_FRAME, nxdn_sync_correlate,
+                nxdn_decode_frames)
+    raise ValueError(f"unknown 4FSK protocol {protocol!r}")
+
+
+def sharded_gfsk_step(mesh: Mesh, samples: jnp.ndarray,
+                      protocol: str = "dmr", n_centuries: int = 2):
+    """Generalized multi-chip 4FSK pipeline step: DMR, YSF, or NXDN.
+
+    Same mesh pattern as :func:`sharded_pipeline_step` (which remains the
+    DMR-specific entry point): channel-DP everywhere, overlap-save RRC
+    with a ppermute halo over the time axis (NXDN exchanges the narrow
+    design's 160-sample halo — rrc_filter.cpp:39-84), per-shard demod +
+    batched frame-field decode, psum'd sync statistics.
+
+    samples: [C, T] float32. Returns (fields dict with [C, F_total, ...]
+    arrays sharded (channel, time), sync_hits [C]).
+    """
+    design, sps, frame_size, sync_fn, decode_fn = _gfsk_config(protocol)
+    halo = design.ntaps - 1
+
+    def local(x):
+        left = _halo_from_left(x, halo, "time")
+        y, _ = rrc_filter_block(
+            jnp.concatenate([left, x], axis=-1)[:, halo:],
+            RrcState(left), design)
+        c_local = y.shape[0]
+        state0 = jax.tree.map(
+            lambda a: jax.lax.pcast(a, ("channel", "time"), to="varying"),
+            demod_init(c_local))
+        dibits, _ = gfsk_demod_block(y, state0, n_centuries, sps)
+        sync_dist = sync_fn(dibits)
+        n_frames = dibits.shape[1] // frame_size
+        frames = dibits[:, :n_frames * frame_size].reshape(
+            c_local, n_frames, frame_size)
+        fields = decode_fn(frames)
+        hit = sync_dist <= 3
+        hits = jnp.sum(hit.reshape(c_local, -1), axis=-1)
+        return fields, jax.lax.psum(hits, "time")
+
+    struct = jax.eval_shape(
+        decode_fn,
+        jax.ShapeDtypeStruct((1, 1, frame_size), jnp.uint8))
+    out_specs = (jax.tree.map(lambda _: P("channel", "time"), struct),
+                 P("channel"))
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("channel", "time"),
+        out_specs=out_specs,
+    )
+    return jax.jit(f)(samples)

@@ -165,3 +165,57 @@ class TestShardedValueEquivalence:
             np.testing.assert_array_equal(got, want,
                                           err_msg=f"time shard {t}")
         np.testing.assert_array_equal(np.asarray(hits), want_hits)
+
+
+class TestShardedGfskProtocols:
+    """sharded_gfsk_step value-equivalence for YSF and NXDN (DMR's
+    equivalent lives in test_dmr_step_matches_single_device)."""
+
+    def _run(self, protocol, sps, n_cent, devices):
+        import numpy as np
+        from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+        from digiham_tpu.dsp.rrc import (NARROW_RRC, WIDE_RRC, RrcState,
+                                         rrc_filter_block)
+        from digiham_tpu.parallel import make_mesh, sharded_gfsk_step
+        from digiham_tpu.parallel.sharded import _gfsk_config
+
+        design, sps_, frame_size, sync_fn, decode_fn = \
+            _gfsk_config(protocol)
+        assert sps_ == sps
+        C, NT = 4, 2
+        mesh = make_mesh(n_channel_shards=2, n_time_shards=NT,
+                         devices=devices[:4])
+        T_local = n_cent * (100 * sps + 1) + 1
+        rng = np.random.default_rng(11)
+        x = rng.normal(0, 700, (C, NT * T_local)).astype(np.float32)
+
+        fields, hits = sharded_gfsk_step(mesh, jnp.asarray(x), protocol,
+                                         n_cent)
+        jax.block_until_ready(fields)
+
+        # single-device reference: full-width RRC from zero state (equal
+        # to halo-exchanged shards), then per-time-shard demod/decode
+        y, _ = rrc_filter_block(jnp.asarray(x),
+                                RrcState.init(C, design), design)
+        want_hits = np.zeros(C, np.int64)
+        want_fields = []
+        for t in range(NT):
+            ys = y[:, t * T_local:(t + 1) * T_local]
+            dibits, _ = gfsk_demod_block(ys, demod_init(C), n_cent, sps)
+            dist = np.asarray(sync_fn(dibits))
+            want_hits += (dist <= 3).reshape(C, -1).sum(-1)
+            n = dibits.shape[1] // frame_size
+            frames = dibits[:, :n * frame_size].reshape(C, n, frame_size)
+            want_fields.append(jax.tree.map(np.asarray,
+                                            decode_fn(frames)))
+        for key in want_fields[0]:
+            want = np.concatenate([w[key] for w in want_fields], axis=1)
+            np.testing.assert_array_equal(
+                np.asarray(fields[key]), want, err_msg=key)
+        np.testing.assert_array_equal(np.asarray(hits), want_hits)
+
+    def test_ysf_step_matches_single_device(self, devices):
+        self._run("ysf", 10, 5, devices)
+
+    def test_nxdn_step_matches_single_device(self, devices):
+        self._run("nxdn", 20, 2, devices)
