@@ -148,16 +148,31 @@ class Settings:
 
     def serialize(self) -> bytes:
         out = io.BytesIO()
-        for d in self.directions:
-            emit_uint(out, 1, d)
-        for k, v in self.args.items():
-            emit_map_entry(out, 2, k, v)
+        if self.directions:
+            # proto3 packs repeated enums: tag(1, len-delim) + varints —
+            # byte-identical to what the C++ protobuf client emits
+            packed = io.BytesIO()
+            for d in self.directions:
+                write_varint(packed, d)
+            emit_string(out, 1, packed.getvalue())
+        # sorted keys match protobuf's deterministic map serialization
+        for k in sorted(self.args):
+            emit_map_entry(out, 2, k, self.args[k])
         return out.getvalue()
 
     @classmethod
     def parse(cls, data: bytes) -> "Settings":
         f = parse_fields(data)
-        return cls(f.get(1, []), parse_map(f.get(2, [])))
+        directions = []
+        for v in f.get(1, []):
+            if isinstance(v, bytes):  # packed
+                pos = 0
+                while pos < len(v):
+                    d, pos = read_varint(v, pos)
+                    directions.append(d)
+            else:  # unpacked varint
+                directions.append(v)
+        return cls(directions, parse_map(f.get(2, [])))
 
 
 class Request:
@@ -219,7 +234,8 @@ class Response:
 
     def serialize(self) -> bytes:
         out = io.BytesIO()
-        emit_uint(out, 1, self.result)
+        if self.result:  # proto3 omits default-valued scalars
+            emit_uint(out, 1, self.result)
         if self.message:
             emit_string(out, 2, self.message)
         if self.framing is not None:
