@@ -1,0 +1,246 @@
+"""Pallas TPU kernel: the fused century demodulator.
+
+Replaces ``dsp.demod._demod_block_single``'s XLA scan (per-century
+dynamic_slice + [100, sps] reshapes — small-tile ops with ~8% lane
+utilization and a scalar-core gather for the per-channel window) with a
+single kernel per channel tile:
+
+- the whole [TILE, L] sample row block lives in VMEM; per-century,
+  per-channel windows are VMEM row slices (no HBM gather);
+- every per-symbol statistic (volume sum, mid-third sum, per-column
+  timing sums) is ONE selection matmul on the MXU:
+  ``window[TILE, 100*sps] @ SEL[100*sps, 100|sps]`` — the [100, sps]
+  reshape never materializes;
+- the AGC's 100-wide sliding min/max uses the same two-block
+  cumulative-extrema trick as the XLA path, with the cumulative scans
+  as log2 shifted-max steps (max/min are exact, so this is bit-identical
+  to any other association);
+- the ±1 timing slew is the same three-shifted-views select as the XLA
+  path (dsp/demod.py _century), so symbol windows are identical.
+
+Semantics follow src/fsk_demodulator/fsk_demodulator.cpp:25-111 /
+gfsk_demodulator.cpp:24-122 via the block redesign documented in
+dsp/demod.py. Float summation ORDER differs from the XLA reductions
+(MXU tree accumulation) — inside the established f32 envelope; decision
+outputs (dibits) are compared against the XLA path in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.demod import (CENTURY, FLT_MIN, VMIN_GUARD, DemodState,
+                         _eval_bounds)
+
+
+def _selection_matrices(sps: int):
+    """Static 0/1 f32 matrices turning a flat [100*sps] century window
+    into per-symbol statistics on the MXU."""
+    n = CENTURY * sps
+    t = np.arange(n)
+    lo, hi = _eval_bounds(sps)
+    sym = t // sps
+    off = t % sps
+    sel_vol = (sym[:, None] == np.arange(CENTURY)[None, :]).astype(
+        np.float32)
+    sel_mid = (sel_vol * ((off >= lo) & (off < hi))[:, None]).astype(
+        np.float32)
+    p_col = (off[:, None] == np.arange(sps)[None, :]).astype(np.float32)
+    return sel_vol, sel_mid, p_col
+
+
+def _cummax_lanes(x, reverse=False):
+    """Inclusive cumulative max along the last axis via log-steps of
+    static shifted maxes (exact — max is associative)."""
+    n = x.shape[-1]
+    sh = 1
+    while sh < n:
+        if reverse:
+            shifted = jnp.concatenate(
+                [x[..., sh:], jnp.full_like(x[..., :sh], -np.inf)], -1)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.full_like(x[..., :sh], -np.inf), x[..., :-sh]], -1)
+        x = jnp.maximum(x, shifted)
+        sh *= 2
+    return x
+
+
+def _cummin_lanes(x, reverse=False):
+    return -_cummax_lanes(-x, reverse=reverse)
+
+
+def _sliding_minmax_100_k(ring, vol):
+    """Pallas twin of dsp.demod._sliding_minmax_100 over the lane axis.
+
+    ring, vol: [TILE, 100]. Window i spans concat[i+1 : i+101]."""
+    suf_max = _cummax_lanes(ring, reverse=True)
+    suf_min = _cummin_lanes(ring, reverse=True)
+    pre_max = _cummax_lanes(vol)
+    pre_min = _cummin_lanes(vol)
+    left_max = jnp.concatenate([suf_max[:, 1:], suf_max[:, -1:]], -1)
+    left_min = jnp.concatenate([suf_min[:, 1:], suf_min[:, -1:]], -1)
+    use_left = (jax.lax.broadcasted_iota(jnp.int32, ring.shape, 1) < 99)
+    wmax = jnp.where(use_left, jnp.maximum(left_max, pre_max), pre_max)
+    wmin = jnp.where(use_left, jnp.minimum(left_min, pre_min), pre_min)
+    return wmin, wmax
+
+
+def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
+                 invert: bool):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    lo, hi = _eval_bounds(sps)
+    n = CENTURY * sps
+    span = n + 1
+
+    def kernel(sel_vol_ref, sel_mid_ref, p_col_ref,
+               y_ref, pos_ref, off_ref, ring_ref,
+               dib_ref, pos_out, off_out, ring_out, w_scratch):
+        sel_vol = sel_vol_ref[:, :]
+        sel_mid = sel_mid_ref[:, :]
+        p_col = p_col_ref[:, :]
+        ring = ring_ref[:, :]
+        offset = off_ref[:, 0]          # [TILE] int32
+        pos = pos_ref[:, 0]             # [TILE] int32
+
+        for c in range(n_centuries):
+            # per-channel window rows: VMEM row slices at dynamic pos
+            for ch in range(tile):
+                w_scratch[ch, :] = y_ref[ch, pl.ds(pos[ch], span)]
+            W = w_scratch[:, :]
+            # three shifted views (pending +-1 slew), row 0 unshifted
+            v0 = W[:, 0:n]
+            vp = W[:, 1:n + 1]
+            vm = jnp.concatenate([jnp.zeros((tile, 1), jnp.float32),
+                                  W[:, 0:n - 1]], -1)
+            offc = offset[:, None]
+            shifted = jnp.where(offc == 1, vp,
+                                jnp.where(offc == -1, vm, v0))
+            first_sym = (jax.lax.broadcasted_iota(
+                jnp.int32, (tile, n), 1) < sps)
+            sym_flat = jnp.where(first_sym, v0, shifted)
+
+            vol_avg = jnp.dot(sym_flat, sel_vol,
+                              preferred_element_type=jnp.float32) / sps
+            mid_avg = jnp.dot(sym_flat, sel_mid,
+                              preferred_element_type=jnp.float32) / (hi - lo)
+
+            # AGC thresholds from the 100-symbol sliding volume window
+            vmin_l, wmax = _sliding_minmax_100_k(ring, vol_avg)
+            vmax = jnp.maximum(wmax, FLT_MIN)
+            center = (vmax + vmin_l) / 2
+
+            if mode == "gfsk":
+                umid = (vmax - center) * 0.625 + center
+                lmid = (vmin_l - center) * 0.625 + center
+                dib = jnp.where(
+                    mid_avg > center,
+                    jnp.where(mid_avg > umid, 1, 0),
+                    jnp.where(mid_avg < lmid, 3, 2),
+                ).astype(jnp.int32)
+            else:
+                one = 0 if invert else 1
+                dib = jnp.where(mid_avg > center, one, 1 - one).astype(
+                    jnp.int32)
+            dib_ref[:, c * CENTURY:(c + 1) * CENTURY] = dib
+
+            # timing: per-column variance of the century window
+            col_sums = jnp.dot(sym_flat, p_col,
+                               preferred_element_type=jnp.float32)
+            col_mean = col_sums / CENTURY
+            mean_flat = jnp.dot(col_mean, p_col.T,
+                                preferred_element_type=jnp.float32)
+            d = mean_flat - sym_flat
+            var = jnp.dot(d * d, p_col,
+                          preferred_element_type=jnp.float32) / CENTURY
+            vmin = jnp.min(var, axis=-1)
+            vmin_pos = jnp.argmin(var, axis=-1).astype(jnp.int32)
+            guard_ok = (vmin > 0) & (vmin <= VMIN_GUARD)
+            step_left = (vmin_pos > 0) & (vmin_pos < sps // 2)
+            step_right = (vmin_pos >= sps // 2) & (vmin_pos < sps - 1)
+            new_offset = jnp.where(
+                guard_ok,
+                jnp.where(step_left, 1, jnp.where(step_right, -1, 0)),
+                0).astype(jnp.int32)
+
+            pos = pos + n + offset
+            offset = new_offset
+            ring = vol_avg
+
+        pos_out[:, 0] = pos
+        off_out[:, 0] = offset
+        ring_out[:, :] = ring
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_centuries", "sps", "mode",
+                                    "invert", "tile", "interpret"))
+def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
+                       n_centuries: int, sps: int = 10,
+                       mode: str = "gfsk", invert: bool = False,
+                       tile: int = 8, interpret: bool = False):
+    """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
+
+    samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
+    Returns (symbols [C, n_centuries*100] uint8, new DemodState).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, L = samples.shape
+    assert C % tile == 0, (C, tile)
+    span = CENTURY * sps + 1
+    n = CENTURY * sps
+    grid = (C // tile,)
+    kernel = _make_kernel(n_centuries, sps, tile, mode, invert)
+    sel_vol, sel_mid, p_col = _selection_matrices(sps)
+
+    dib, pos, off, ring = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, sps), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, CENTURY), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, n_centuries * CENTURY), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, CENTURY), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, n_centuries * CENTURY), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, CENTURY), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, span), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(sel_vol), jnp.asarray(sel_mid), jnp.asarray(p_col),
+      samples, state.pos[:, None], state.offset[:, None],
+      state.volume_ring)
+    return dib.astype(jnp.uint8), DemodState(pos[:, 0], off[:, 0], ring)

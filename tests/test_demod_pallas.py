@@ -1,0 +1,107 @@
+"""Fused Pallas century-demod kernel vs the XLA scan path.
+
+Runs in interpret mode on CPU. The two programs differ only in float
+summation order (MXU selection-matmuls vs XLA reductions); symbol
+decisions must agree on healthy-margin signals and the integer carry
+(pos, offset) must be exact.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from digiham_tpu.ops import pallas_fir_available
+from digiham_tpu.ops.demod_pallas import pallas_demod_block
+from digiham_tpu.dsp.demod import (DemodState, demod_init, fsk_demod_block,
+                                   gfsk_demod_block)
+
+pytestmark = pytest.mark.skipif(not pallas_fir_available(),
+                                reason="pallas unavailable")
+
+LEVELS = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+
+
+def _gfsk_sig(rng, channels, n_sym, sps, noise):
+    tx = rng.integers(0, 4, (channels, n_sym))
+    sig = np.repeat(LEVELS[tx], sps, axis=-1) * 1000
+    sig = sig + rng.normal(0, noise * 1000, sig.shape)
+    return sig.astype(np.float32)
+
+
+def _assert_state_match(sa: DemodState, sb: DemodState):
+    np.testing.assert_array_equal(np.asarray(sa.pos), np.asarray(sb.pos))
+    np.testing.assert_array_equal(np.asarray(sa.offset),
+                                  np.asarray(sb.offset))
+    np.testing.assert_allclose(np.asarray(sa.volume_ring),
+                               np.asarray(sb.volume_ring), rtol=2e-6)
+
+
+@pytest.mark.parametrize("channels,noise", [(8, 0.05), (16, 0.12)])
+def test_gfsk_matches_xla(channels, noise):
+    rng = np.random.default_rng(channels + int(noise * 100))
+    n_cent, sps = 4, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, noise))
+    st = demod_init(channels)
+    want, st_x = gfsk_demod_block(sig, st, n_cent, sps)
+    got, st_p = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_p, st_x)
+
+
+def test_gfsk_streaming_carry():
+    """Multi-block stream: the (pos, offset, ring) carry chains exactly."""
+    rng = np.random.default_rng(7)
+    channels, n_cent, sps = 8, 3, 10
+    n_blocks = 3
+    span = n_cent * (100 * sps + 1) + 8
+    full = _gfsk_sig(rng, channels, (n_blocks * span) // sps + 8, sps, 0.08)
+    st_x = st_p = demod_init(channels)
+    for b in range(n_blocks):
+        blk = jnp.asarray(full[:, b * span:(b + 1) * span + 16])
+        want, st_x = gfsk_demod_block(blk, st_x, n_cent, sps)
+        got, st_p = pallas_demod_block(blk, st_p, n_cent, sps, mode="gfsk",
+                                       interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        _assert_state_match(st_p, st_x)
+        # rebase like the stream driver does
+        consumed = int(np.min(np.asarray(st_x.pos))) - 8
+        if consumed > 0:
+            st_x = DemodState(st_x.pos - (span), st_x.offset,
+                              st_x.volume_ring)
+            st_p = DemodState(st_p.pos - (span), st_p.offset,
+                              st_p.volume_ring)
+
+
+@pytest.mark.parametrize("invert", [False, True])
+def test_fsk_matches_xla(invert):
+    rng = np.random.default_rng(40 + invert)
+    channels, n_cent, sps = 8, 2, 40
+    tx = rng.integers(0, 2, (channels, n_cent * 100 + 4))
+    sig = np.repeat(np.array([-1.0, 1.0])[tx], sps, axis=-1) * 800
+    sig = (sig + rng.normal(0, 60, sig.shape)).astype(np.float32)
+    sig = jnp.asarray(sig)
+    st = demod_init(channels)
+    want, st_x = fsk_demod_block(sig, st, n_cent, sps, invert)
+    got, st_p = pallas_demod_block(sig, st, n_cent, sps, mode="fsk",
+                                   invert=invert, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_p, st_x)
+
+
+def test_nonzero_start_state():
+    """Nonzero pos / pending slew / warm volume ring carried in."""
+    rng = np.random.default_rng(11)
+    channels, n_cent, sps = 8, 2, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 12, sps, 0.06))
+    st = DemodState(
+        pos=jnp.asarray(rng.integers(0, 9, channels).astype(np.int32)),
+        offset=jnp.asarray(rng.integers(-1, 2, channels).astype(np.int32)),
+        volume_ring=jnp.asarray(
+            rng.normal(0, 400, (channels, 100)).astype(np.float32)),
+    )
+    want, st_x = gfsk_demod_block(sig, st, n_cent, sps)
+    got, st_p = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_p, st_x)

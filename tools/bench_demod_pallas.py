@@ -1,0 +1,80 @@
+"""TPU micro-bench: fused Pallas century demod vs the XLA scan demod.
+
+Honest methodology (CLAUDE.md): on-device inputs keyed per rep, K unrolled
+steps per dispatch returning one scalar checksum, N async calls all fetched
+to host, samples / wall-time. Prints one JSON line per variant.
+"""
+import json
+import os
+import time
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+    from digiham_tpu.ops.demod_pallas import pallas_demod_block
+
+    channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    sps = 10
+    n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "32"))
+    L = n_cent * (100 * sps + 1) + 8
+    seed_base = int(time.time()) % 1000000
+    state0 = demod_init(channels)
+
+    def make_step(demod):
+        @jax.jit
+        def step_k(seed, state0):
+            state = state0
+            acc = jnp.int32(0)
+            for k in range(unroll):
+                key = jax.random.key(seed * unroll + k)
+                x = jax.random.normal(key, (channels, L), jnp.float32) * 500
+                dib, state = demod(x, state)
+                acc = acc + dib.astype(jnp.int32).sum()
+                state.pos = jnp.zeros_like(state.pos)
+            return (acc + state.offset.sum()
+                    + state.volume_ring.sum().astype(jnp.int32))
+        return step_k
+
+    variants = {
+        "xla": lambda x, st: gfsk_demod_block(x, st, n_cent, sps),
+        "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
+                                                   mode="gfsk"),
+    }
+    for name, demod in variants.items():
+        step_k = make_step(demod)
+        try:
+            for w in range(2):
+                int(step_k(seed_base + 900000 + w, state0))
+        except Exception as e:  # compile/runtime failure => report it
+            print(json.dumps({"variant": name, "error": repr(e)[:500]}))
+            continue
+        t0 = time.perf_counter()
+        cks = [step_k(seed_base + r + 1, state0) for r in range(reps)]
+        checks = [int(c) for c in cks]
+        wall = time.perf_counter() - t0
+        n_steps = reps * unroll
+        dt = wall / n_steps
+        msps = channels * n_cent * 100 * sps / dt / 1e6
+        print(json.dumps({
+            "variant": name,
+            "per_step_ms": round(dt * 1e3, 4),
+            "msamples_per_s": round(msps, 1),
+            "distinct_checksums": len(set(checks)),
+            "backend": jax.devices()[0].platform,
+        }))
+
+
+if __name__ == "__main__":
+    main()
