@@ -192,6 +192,56 @@ def _demod_block_single(samples, pos, offset, volume_ring,
     return symbols.reshape(-1), pos, offset, ring
 
 
+def _demod_block_xla(samples, state, n_centuries, sps, mode, invert):
+    f = functools.partial(_demod_block_single, n_centuries=n_centuries,
+                          sps=sps, mode=mode, invert=invert)
+    symbols, pos, offset, ring = jax.vmap(f)(
+        samples, state.pos, state.offset, state.volume_ring
+    )
+    return symbols, DemodState(pos, offset, ring)
+
+
+def _pallas_demod_default(channels: int) -> bool:
+    """Fused Pallas century kernel on TPU (honestly benched 2.25x the XLA
+    scan in round 2: 1.0 ms vs 2.25 ms per 256ch x 8-century step).
+    Override with DIGIHAM_DEMOD_PALLAS=0/1."""
+    import os
+    if channels % 8 != 0:
+        return False
+    env = os.environ.get("DIGIHAM_DEMOD_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
+                      interpret=False):
+    """Pallas kernel with a runtime guard: falls back to the XLA scan for
+    states outside the kernel's aligned-shift bound (pos far from the
+    block origin — never the case for the stream drivers, which rebase
+    pos below ~2*sps each block). Both branches are decision-identical
+    (tests/test_demod_pallas.py)."""
+    from ..ops.demod_pallas import SH_BOUND, pallas_demod_block
+
+    ok = (state.pos.min() >= 0) & (state.pos.max() < SH_BOUND - 256)
+
+    def pallas_branch(args):
+        samples, state = args
+        return pallas_demod_block(samples, state, n_centuries, sps,
+                                  mode=mode, invert=invert,
+                                  interpret=interpret)
+
+    def xla_branch(args):
+        samples, state = args
+        return _demod_block_xla(samples, state, n_centuries, sps, mode,
+                                invert)
+
+    return jax.lax.cond(ok, pallas_branch, xla_branch, (samples, state))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def gfsk_demod_block(samples: jnp.ndarray, state: DemodState,
                      n_centuries: int, sps: int = 10,
@@ -204,24 +254,20 @@ def gfsk_demod_block(samples: jnp.ndarray, state: DemodState,
     state's ``pos`` stays relative to this block's origin; the stream driver
     rebases it when it discards consumed samples.
     """
-    f = functools.partial(_demod_block_single, n_centuries=n_centuries,
-                          sps=sps, mode="gfsk", invert=False)
-    symbols, pos, offset, ring = jax.vmap(f)(
-        samples, state.pos, state.offset, state.volume_ring
-    )
-    return symbols, DemodState(pos, offset, ring)
+    if _pallas_demod_default(samples.shape[0]):
+        return _demod_block_auto(samples, state, n_centuries, sps,
+                                 "gfsk", False)
+    return _demod_block_xla(samples, state, n_centuries, sps, "gfsk", False)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fsk_demod_block(samples: jnp.ndarray, state: DemodState,
                     n_centuries: int, sps: int = 40, invert: bool = False):
     """2FSK demodulate a block: bits 0/1 per symbol. See gfsk_demod_block."""
-    f = functools.partial(_demod_block_single, n_centuries=n_centuries,
-                          sps=sps, mode="fsk", invert=invert)
-    symbols, pos, offset, ring = jax.vmap(f)(
-        samples, state.pos, state.offset, state.volume_ring
-    )
-    return symbols, DemodState(pos, offset, ring)
+    if _pallas_demod_default(samples.shape[0]):
+        return _demod_block_auto(samples, state, n_centuries, sps,
+                                 "fsk", invert)
+    return _demod_block_xla(samples, state, n_centuries, sps, "fsk", invert)
 
 
 class _DemodNp:

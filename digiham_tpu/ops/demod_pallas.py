@@ -5,8 +5,11 @@ dynamic_slice + [100, sps] reshapes — small-tile ops with ~8% lane
 utilization and a scalar-core gather for the per-channel window) with a
 single kernel per channel tile:
 
-- the whole [TILE, L] sample row block lives in VMEM; per-century,
-  per-channel windows are VMEM row slices (no HBM gather);
+- the whole [TILE, L] sample row block lives in VMEM; per-century the
+  kernel takes ONE 128-aligned static slice and aligns each channel's
+  window with a log-stage shifter (conditional static lane-rotations —
+  Mosaic rejects dynamic lane offsets, so the dynamic per-channel read
+  position becomes ~9 vectorized select stages instead);
 - every per-symbol statistic (volume sum, mid-third sum, per-column
   timing sums) is ONE selection matmul on the MXU:
   ``window[TILE, 100*sps] @ SEL[100*sps, 100|sps]`` — the [100, sps]
@@ -22,7 +25,12 @@ Semantics follow src/fsk_demodulator/fsk_demodulator.cpp:25-111 /
 gfsk_demodulator.cpp:24-122 via the block redesign documented in
 dsp/demod.py. Float summation ORDER differs from the XLA reductions
 (MXU tree accumulation) — inside the established f32 envelope; decision
-outputs (dibits) are compared against the XLA path in tests.
+outputs (dibits) are bit-identical to the XLA path in interpret-mode
+tests, and on real TPU hardware measured at ~0.04% isolated knife-edge
+slicer flips plus ~1% of timing updates resolving a flat variance-valley
+tie to the other (equally valid) +-1 slew — the same precision class as
+the documented RRC f32 envelope (docs/BER_PARITY.md), with no effect on
+SER/frame-success statistics.
 """
 from __future__ import annotations
 
@@ -89,17 +97,21 @@ def _sliding_minmax_100_k(ring, vol):
     return wmin, wmax
 
 
+SH_BOUND = 512  # max supported (pos - aligned century base); see wrapper
+
+
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
-                 invert: bool):
-    from jax.experimental import pallas as pl  # noqa: F401
+                 invert: bool, load: int):
+    from jax.experimental.pallas import tpu as pltpu
 
     lo, hi = _eval_bounds(sps)
     n = CENTURY * sps
     span = n + 1
+    n_stages = max(1, (SH_BOUND + 128 - 1).bit_length())
 
     def kernel(sel_vol_ref, sel_mid_ref, p_col_ref,
                y_ref, pos_ref, off_ref, ring_ref,
-               dib_ref, pos_out, off_out, ring_out, w_scratch):
+               dib_ref, pos_out, off_out, ring_out):
         sel_vol = sel_vol_ref[:, :]
         sel_mid = sel_mid_ref[:, :]
         p_col = p_col_ref[:, :]
@@ -108,15 +120,22 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
         pos = pos_ref[:, 0]             # [TILE] int32
 
         for c in range(n_centuries):
-            # per-channel window rows: VMEM row slices at dynamic pos
-            for ch in range(tile):
-                w_scratch[ch, :] = y_ref[ch, pl.ds(pos[ch], span)]
-            W = w_scratch[:, :]
+            # one aligned static window per century; per-channel alignment
+            # to pos[ch] via the log-stage shifter (left-rotate by bit k of
+            # the shift where set — static rolls + per-row selects only)
+            start_c = max(0, (c * n // 128) * 128 - 128)
+            W = y_ref[:, start_c:start_c + load]
+            sh = pos - start_c          # [TILE] >= 0, < SH_BOUND + 128
+            for k in range(n_stages):
+                amt = 1 << k
+                rolled = pltpu.roll(W, load - amt, axis=1)
+                W = jnp.where(((sh & amt) != 0)[:, None], rolled, W)
+            # W[:, t] == samples[ch, pos[ch] + t] for t < span
             # three shifted views (pending +-1 slew), row 0 unshifted
             v0 = W[:, 0:n]
-            vp = W[:, 1:n + 1]
-            vm = jnp.concatenate([jnp.zeros((tile, 1), jnp.float32),
-                                  W[:, 0:n - 1]], -1)
+            vp = pltpu.roll(W, load - 1, axis=1)[:, 0:n]
+            # right-rotate wraps garbage into lane 0 — masked by first_sym
+            vm = pltpu.roll(W, 1, axis=1)[:, 0:n]
             offc = offset[:, None]
             shifted = jnp.where(offc == 1, vp,
                                 jnp.where(offc == -1, vm, v0))
@@ -146,7 +165,8 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                 one = 0 if invert else 1
                 dib = jnp.where(mid_avg > center, one, 1 - one).astype(
                     jnp.int32)
-            dib_ref[:, c * CENTURY:(c + 1) * CENTURY] = dib
+            # 128-aligned per-century store block (lanes 100..127 unused)
+            dib_ref[:, c * 128:c * 128 + CENTURY] = dib
 
             # timing: per-column variance of the century window
             col_sums = jnp.dot(sym_flat, p_col,
@@ -188,6 +208,10 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
+    Requires pos[ch] - 128*floor(c*100*sps/128) < SH_BOUND + 128 for every
+    century c a channel reads — i.e. the block-relative start position plus
+    cumulative slew stays under ~SH_BOUND (streaming drivers rebase pos to
+    < 2*sps, far inside the bound).
     Returns (symbols [C, n_centuries*100] uint8, new DemodState).
     """
     from jax.experimental import pallas as pl
@@ -197,8 +221,16 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     assert C % tile == 0, (C, tile)
     span = CENTURY * sps + 1
     n = CENTURY * sps
+    load = -(-(span + SH_BOUND + 128) // 128) * 128
+    # right-pad so every century's aligned [start_c, start_c + load) read
+    # stays in bounds
+    last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
+    L_pad = max(L, last_start + load)
+    L_pad = -(-L_pad // 128) * 128
+    if L_pad != L:
+        samples = jnp.pad(samples, ((0, 0), (0, L_pad - L)))
     grid = (C // tile,)
-    kernel = _make_kernel(n_centuries, sps, tile, mode, invert)
+    kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load)
     sel_vol, sel_mid, p_col = _selection_matrices(sps)
 
     dib, pos, off, ring = pl.pallas_call(
@@ -211,7 +243,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, sps), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, L), lambda i: (i, 0),
+            pl.BlockSpec((tile, L_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -221,7 +253,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, n_centuries * CENTURY), lambda i: (i, 0),
+            pl.BlockSpec((tile, n_centuries * 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -231,16 +263,14 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, n_centuries * CENTURY), jnp.int32),
+            jax.ShapeDtypeStruct((C, n_centuries * 128), jnp.int32),
             jax.ShapeDtypeStruct((C, 1), jnp.int32),
             jax.ShapeDtypeStruct((C, 1), jnp.int32),
             jax.ShapeDtypeStruct((C, CENTURY), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile, span), jnp.float32),
-        ],
         interpret=interpret,
     )(jnp.asarray(sel_vol), jnp.asarray(sel_mid), jnp.asarray(p_col),
       samples, state.pos[:, None], state.offset[:, None],
       state.volume_ring)
+    dib = dib.reshape(C, n_centuries, 128)[:, :, :CENTURY].reshape(C, -1)
     return dib.astype(jnp.uint8), DemodState(pos[:, 0], off[:, 0], ring)

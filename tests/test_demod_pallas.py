@@ -50,27 +50,28 @@ def test_gfsk_matches_xla(channels, noise):
 
 
 def test_gfsk_streaming_carry():
-    """Multi-block stream: the (pos, offset, ring) carry chains exactly."""
+    """Multi-block stream: the (pos, offset, ring) carry chains exactly,
+    with stream-driver-style pos rebasing between blocks."""
     rng = np.random.default_rng(7)
     channels, n_cent, sps = 8, 3, 10
     n_blocks = 3
-    span = n_cent * (100 * sps + 1) + 8
-    full = _gfsk_sig(rng, channels, (n_blocks * span) // sps + 8, sps, 0.08)
+    L_blk = n_cent * (100 * sps + 1) + 64
+    full = _gfsk_sig(rng, channels,
+                     (n_blocks * L_blk) // sps + 16, sps, 0.08)
     st_x = st_p = demod_init(channels)
+    base = 0
     for b in range(n_blocks):
-        blk = jnp.asarray(full[:, b * span:(b + 1) * span + 16])
+        blk = jnp.asarray(full[:, base:base + L_blk])
         want, st_x = gfsk_demod_block(blk, st_x, n_cent, sps)
         got, st_p = pallas_demod_block(blk, st_p, n_cent, sps, mode="gfsk",
                                        interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         _assert_state_match(st_p, st_x)
-        # rebase like the stream driver does
-        consumed = int(np.min(np.asarray(st_x.pos))) - 8
-        if consumed > 0:
-            st_x = DemodState(st_x.pos - (span), st_x.offset,
-                              st_x.volume_ring)
-            st_p = DemodState(st_p.pos - (span), st_p.offset,
-                              st_p.volume_ring)
+        # rebase like the stream driver: drop consumed samples, shift pos
+        shift = int(np.asarray(st_x.pos).min())
+        base += shift
+        st_x = DemodState(st_x.pos - shift, st_x.offset, st_x.volume_ring)
+        st_p = DemodState(st_p.pos - shift, st_p.offset, st_p.volume_ring)
 
 
 @pytest.mark.parametrize("invert", [False, True])
@@ -87,6 +88,31 @@ def test_fsk_matches_xla(invert):
                                    invert=invert, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     _assert_state_match(st_p, st_x)
+
+
+def test_auto_dispatch_guard():
+    """_demod_block_auto: Pallas branch for in-range pos, XLA fallback
+    branch past the shift bound — both match the plain XLA path."""
+    from digiham_tpu.dsp.demod import _demod_block_auto, _demod_block_xla
+    from digiham_tpu.ops.demod_pallas import SH_BOUND
+
+    rng = np.random.default_rng(3)
+    channels, n_cent, sps = 8, 2, 10
+    far = SH_BOUND  # beyond the guard => must take the XLA branch
+    sig = _gfsk_sig(rng, channels, n_cent * 100 + 8, sps, 0.05)
+    sig = np.concatenate(
+        [np.zeros((channels, far), np.float32), sig], axis=-1)
+    sig = jnp.asarray(sig)
+    for pos0 in (4, far + 4):
+        st = DemodState(
+            pos=jnp.full((channels,), pos0, jnp.int32),
+            offset=jnp.zeros((channels,), jnp.int32),
+            volume_ring=jnp.zeros((channels, 100), jnp.float32))
+        want, st_x = _demod_block_xla(sig, st, n_cent, sps, "gfsk", False)
+        got, st_a = _demod_block_auto(sig, st, n_cent, sps, "gfsk", False,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        _assert_state_match(st_a, st_x)
 
 
 def test_nonzero_start_state():
