@@ -28,6 +28,7 @@ def main():
     n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
     unroll = int(os.environ.get("BENCH_UNROLL", "32"))
+    tile = int(os.environ.get("BENCH_TILE", "8"))
     L = n_cent * (100 * sps + 1) + 8
     seed_base = int(time.time()) % 1000000
     state0 = demod_init(channels)
@@ -50,7 +51,7 @@ def main():
     variants = {
         "xla": lambda x, st: gfsk_demod_block(x, st, n_cent, sps),
         "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
-                                                   mode="gfsk"),
+                                                   mode="gfsk", tile=tile),
     }
     for name, demod in variants.items():
         step_k = make_step(demod)
