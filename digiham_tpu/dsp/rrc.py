@@ -145,11 +145,16 @@ class RrcState:
         return RrcState(jnp.zeros((channels, design.ntaps - 1), jnp.float32))
 
 
-def _pallas_default() -> bool:
+def _pallas_default(channels: int) -> bool:
     """Pallas FIR on TPU (honestly benched 2.5x the XLA conv in round 2:
     0.45 ms vs 1.9 ms kernel time at 256ch x 8089); XLA conv elsewhere.
-    Override with DIGIHAM_RRC_PALLAS=0/1."""
+    The kernel rides channels on the 128-wide lane axis, and Mosaic
+    requires lane-dim slices aligned to the 128 tiling — so only banks
+    with channels % 128 == 0 take the kernel (smaller banks are
+    latency-trivial anyway). Override with DIGIHAM_RRC_PALLAS=0/1."""
     import os
+    if channels % 128 != 0:
+        return False
     env = os.environ.get("DIGIHAM_RRC_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")
@@ -169,7 +174,7 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
     both paths are within 1 ulp of each other (sequential vs HIGHEST-
     precision conv accumulation — the documented f32 envelope).
     """
-    if _pallas_default():
+    if _pallas_default(samples.shape[0]):
         from ..ops.fir import rrc_filter_block_pallas
         y, hist = rrc_filter_block_pallas(
             samples, state.history, design.scaled_taps)
