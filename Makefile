@@ -1,0 +1,27 @@
+# Build/packaging entry points (the reference ships a CMake shared lib +
+# three Debian packages, CMakeLists.txt:7 / debian/control:11-31; the
+# TPU-native equivalent is a pip wheel with the ten CLI entry points plus
+# the on-demand-compiled native helper library). See docs/PACKAGING.md.
+
+PYTHON ?= python
+WHEELDIR ?= dist
+
+.PHONY: wheel native test bench smoke clean
+
+wheel:
+	$(PYTHON) -m pip wheel . --no-deps --no-build-isolation -w $(WHEELDIR)
+
+native:
+	$(PYTHON) -c "from digiham_tpu import native; native._build(); print('native helpers:', 'loaded' if native._load() is not None else 'numpy fallback')"
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+bench:
+	$(PYTHON) bench.py
+
+smoke:
+	$(PYTHON) tools/tpu_smoke.py
+
+clean:
+	rm -rf $(WHEELDIR) build *.egg-info
