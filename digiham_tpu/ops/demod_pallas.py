@@ -101,7 +101,11 @@ SH_BOUND = 512  # max supported (pos - aligned century base); see wrapper
 
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
-                 invert: bool, load: int):
+                 invert: bool, load: int, ablate: tuple = ()):
+    """ablate (PERF DIAGNOSTIC ONLY — wrong results): "shift" skips the
+    alignment shifter, "timing" skips the variance matmuls, "agc" uses
+    fixed thresholds. Used by tools/bench_demod_pallas.py to attribute
+    kernel time; never set by production dispatch."""
     from jax.experimental.pallas import tpu as pltpu
 
     lo, hi = _eval_bounds(sps)
@@ -126,10 +130,11 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             start_c = max(0, (c * n // 128) * 128 - 128)
             W = y_ref[:, start_c:start_c + load]
             sh = pos - start_c          # [TILE] >= 0, < SH_BOUND + 128
-            for k in range(n_stages):
-                amt = 1 << k
-                rolled = pltpu.roll(W, load - amt, axis=1)
-                W = jnp.where(((sh & amt) != 0)[:, None], rolled, W)
+            if "shift" not in ablate:
+                for k in range(n_stages):
+                    amt = 1 << k
+                    rolled = pltpu.roll(W, load - amt, axis=1)
+                    W = jnp.where(((sh & amt) != 0)[:, None], rolled, W)
             # W[:, t] == samples[ch, pos[ch] + t] for t < span
             # three shifted views (pending +-1 slew), row 0 unshifted
             v0 = W[:, 0:n]
@@ -149,7 +154,11 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                               preferred_element_type=jnp.float32) / (hi - lo)
 
             # AGC thresholds from the 100-symbol sliding volume window
-            vmin_l, wmax = _sliding_minmax_100_k(ring, vol_avg)
+            if "agc" in ablate:
+                vmin_l = jnp.full_like(vol_avg, -1.0)
+                wmax = jnp.ones_like(vol_avg)
+            else:
+                vmin_l, wmax = _sliding_minmax_100_k(ring, vol_avg)
             vmax = jnp.maximum(wmax, FLT_MIN)
             center = (vmax + vmin_l) / 2
 
@@ -169,23 +178,26 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             dib_ref[:, c * 128:c * 128 + CENTURY] = dib
 
             # timing: per-column variance of the century window
-            col_sums = jnp.dot(sym_flat, p_col,
-                               preferred_element_type=jnp.float32)
-            col_mean = col_sums / CENTURY
-            mean_flat = jnp.dot(col_mean, p_col.T,
-                                preferred_element_type=jnp.float32)
-            d = mean_flat - sym_flat
-            var = jnp.dot(d * d, p_col,
-                          preferred_element_type=jnp.float32) / CENTURY
-            vmin = jnp.min(var, axis=-1)
-            vmin_pos = jnp.argmin(var, axis=-1).astype(jnp.int32)
-            guard_ok = (vmin > 0) & (vmin <= VMIN_GUARD)
-            step_left = (vmin_pos > 0) & (vmin_pos < sps // 2)
-            step_right = (vmin_pos >= sps // 2) & (vmin_pos < sps - 1)
-            new_offset = jnp.where(
-                guard_ok,
-                jnp.where(step_left, 1, jnp.where(step_right, -1, 0)),
-                0).astype(jnp.int32)
+            if "timing" in ablate:
+                new_offset = jnp.zeros((tile,), jnp.int32)
+            else:
+                col_sums = jnp.dot(sym_flat, p_col,
+                                   preferred_element_type=jnp.float32)
+                col_mean = col_sums / CENTURY
+                mean_flat = jnp.dot(col_mean, p_col.T,
+                                    preferred_element_type=jnp.float32)
+                d = mean_flat - sym_flat
+                var = jnp.dot(d * d, p_col,
+                              preferred_element_type=jnp.float32) / CENTURY
+                vmin = jnp.min(var, axis=-1)
+                vmin_pos = jnp.argmin(var, axis=-1).astype(jnp.int32)
+                guard_ok = (vmin > 0) & (vmin <= VMIN_GUARD)
+                step_left = (vmin_pos > 0) & (vmin_pos < sps // 2)
+                step_right = (vmin_pos >= sps // 2) & (vmin_pos < sps - 1)
+                new_offset = jnp.where(
+                    guard_ok,
+                    jnp.where(step_left, 1, jnp.where(step_right, -1, 0)),
+                    0).astype(jnp.int32)
 
             pos = pos + n + offset
             offset = new_offset
@@ -200,11 +212,13 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_centuries", "sps", "mode",
-                                    "invert", "tile", "interpret"))
+                                    "invert", "tile", "interpret",
+                                    "ablate"))
 def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                        n_centuries: int, sps: int = 10,
                        mode: str = "gfsk", invert: bool = False,
-                       tile: int = 8, interpret: bool = False):
+                       tile: int = 8, interpret: bool = False,
+                       ablate: tuple = ()):
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
@@ -230,7 +244,8 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     if L_pad != L:
         samples = jnp.pad(samples, ((0, 0), (0, L_pad - L)))
     grid = (C // tile,)
-    kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load)
+    kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
+                          ablate)
     sel_vol, sel_mid, p_col = _selection_matrices(sps)
 
     dib, pos, off, ring = pl.pallas_call(

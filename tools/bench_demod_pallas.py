@@ -53,6 +53,14 @@ def main():
         "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
                                                    mode="gfsk", tile=tile),
     }
+    if os.environ.get("BENCH_ABLATE"):
+        # perf attribution: each variant removes one kernel stage
+        # (results are intentionally wrong — timing only)
+        for abl in ("shift", "timing", "agc"):
+            variants[f"pallas-no-{abl}"] = (
+                lambda x, st, abl=abl: pallas_demod_block(
+                    x, st, n_cent, sps, mode="gfsk", tile=tile,
+                    ablate=(abl,)))
     for name, demod in variants.items():
         step_k = make_step(demod)
         try:

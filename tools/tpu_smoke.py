@@ -1,10 +1,12 @@
-"""On-hardware smoke test: the production tracked-bank path on a REAL
-TPU backend (Pallas kernels active where eligible).
+"""On-hardware smoke test: the production tracked-bank path for ALL
+FIVE protocols on a REAL TPU backend (Pallas kernels active where
+eligible).
 
-Synthesizes a noisy DMR voice stream, pushes it through
-TrackedChannelBank (device pipeline + host trackers), and asserts the
-TX voice payload decodes on every channel. Run under the default axon
-env (do NOT force cpu). Exit code 0 = PASS.
+Per protocol: synthesize a transmission with the TX-side frame
+synthesizers, modulate to baseband samples, push through
+TrackedChannelBank (device pipeline + host trackers) and assert the
+expected payload/metadata decodes. Run under the default axon env (do
+NOT force cpu). Exit code 0 = all PASS.
 
 Round-2 catch: this script found the Pallas RRC lane-alignment failure
 for channel counts not a multiple of 128 (dsp/rrc.py gate).
@@ -17,42 +19,167 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+LEVELS4 = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
 
-def main(channels=8, noise=60.0):
+
+def _bank(pipe, adapter=None, channels=2, with_meta=False):
+    from digiham_tpu.runtime.meta import PipelineMetaWriter
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+
+    outputs = {c: b"" for c in range(channels)}
+    kw = {"adapter": adapter} if adapter is not None else {}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d), **kw)
+    metas = {c: [] for c in range(channels)}
+    if with_meta:
+        for c in range(channels):
+            bank.set_meta_writer(c, PipelineMetaWriter(
+                lambda b, ev=metas[c]: ev.append(b.decode())))
+    return bank, outputs, metas
+
+
+def _push(bank, samples, chunk=8192):
+    for lo in range(0, samples.shape[1], chunk):
+        bank.push(samples[:, lo:lo + chunk])
+
+
+def smoke_dmr(channels=8, noise=60.0):
+    from digiham_tpu.pipeline import DmrPipeline
+    from digiham_tpu.protocols.dmr.phases import pack_dibits
+    from dmr_synth import voice_frame
+
+    rng = np.random.default_rng(42)
+    payload = np.tile([1, 3, 0, 2], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(12)]
+    dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
+    base = np.repeat(LEVELS4[dibits], 10) * 1000
+    samples = np.stack(
+        [base + rng.normal(0, noise, base.shape) for _ in range(channels)]
+    ).astype(np.float32)
+    pipe = DmrPipeline(channels=channels, sps=10, n_centuries=2)
+    bank, outputs, _ = _bank(pipe, channels=channels)
+    _push(bank, samples)
+    want = pack_dibits(payload)
+    ok = sum(want in outputs[c] for c in range(channels))
+    return ok == channels, f"{ok}/{channels} channels decoded TX payload"
+
+
+def smoke_ysf():
+    from digiham_tpu.pipeline import YsfPipeline
+    from digiham_tpu.runtime.tracked_bank import YsfAdapter
+    from ysf_synth import header_frame, terminator_frame, vd2_frame
+
+    parts = [np.zeros(60, np.uint8),
+             header_frame(b"DEST", b"SRC", b"DOWN", b"UP")]
+    for fn in range(6):
+        parts.append(vd2_frame(fn % 8, b"TPUSMOKE  "))
+    parts.append(terminator_frame())
+    parts.append(np.zeros(200, np.uint8))
+    dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    samples = np.stack([np.repeat(LEVELS4[dibits], 10) * 1000] * 2
+                       ).astype(np.float32)
+    pipe = YsfPipeline(channels=2, sps=10, n_centuries=5)
+    bank, outputs, metas = _bank(pipe, YsfAdapter(), with_meta=True)
+    _push(bank, samples)
+    ok = all(len(outputs[c]) > 0 for c in range(2)) and all(
+        "DEST" in "".join(metas[c]) for c in range(2))
+    return ok, (f"voice bytes {[len(outputs[c]) for c in range(2)]}, "
+                f"meta has DEST: "
+                f"{['DEST' in ''.join(metas[c]) for c in range(2)]}")
+
+
+def smoke_nxdn():
+    from digiham_tpu.pipeline import NxdnPipeline
+    from digiham_tpu.runtime.tracked_bank import NxdnAdapter
+    from nxdn_synth import (encode_sacch_unit, nxdn_frame,
+                            vcall_superframe_bytes, voice_slot_dibits)
+
+    # (100, 200) chosen to survive the reference-faithful
+    # zero-insertion depuncture + Viterbi roundtrip (content-dependent)
+    units = vcall_superframe_bytes(0, 100, 200)
+    payload = np.tile([0, 1, 2, 3], 18).astype(np.uint8)
+    parts = [np.zeros(60, np.uint8)]
+    for i in range(8):
+        slots = [voice_slot_dibits(payload, 38),
+                 voice_slot_dibits(payload, 38 + 72)]
+        parts.append(nxdn_frame((0b01, 0b10, 3),
+                                encode_sacch_unit(i % 4, units[i % 4]),
+                                slots))
+    parts.append(np.zeros(300, np.uint8))
+    dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    samples = np.stack([np.repeat(LEVELS4[dibits], 20) * 1000] * 2
+                       ).astype(np.float32)
+    pipe = NxdnPipeline(channels=2, sps=20, n_centuries=3)
+    bank, outputs, metas = _bank(pipe, NxdnAdapter(), with_meta=True)
+    _push(bank, samples)
+    meta_ok = ["source:100" in "".join(metas[c]) for c in range(2)]
+    ok = all(len(outputs[c]) > 0 for c in range(2)) and all(meta_ok)
+    return ok, (f"voice bytes {[len(outputs[c]) for c in range(2)]}, "
+                f"meta source:100: {meta_ok}")
+
+
+def smoke_dstar():
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import DstarAdapter
+    from test_dstar import full_voice_stream
+
+    parts = full_voice_stream(30) + [np.zeros(300, np.uint8)]
+    bits = np.concatenate(parts)
+    levels = np.array([-1.0, 1.0], np.float32)
+    samples = np.stack(
+        [np.repeat(levels[bits], 10) * 1000] * 2).astype(np.float32)
+    pipe = FskPipeline(channels=2, protocol="dstar", n_centuries=2)
+    bank, outputs, _ = _bank(pipe, DstarAdapter())
+    _push(bank, samples, chunk=4096)
+    ok = all(len(outputs[c]) >= 9 * 20 and outputs[c][:9] == b"\xAA" * 9
+             for c in range(2))
+    return ok, f"voice bytes {[len(outputs[c]) for c in range(2)]}"
+
+
+def smoke_pocsag():
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import PocsagAdapter
+    from test_pocsag import address_codeword, alpha_payloads, \
+        build_stream, data_codeword
+
+    cws = [address_codeword(4242, 3)]
+    cws += [data_codeword(p) for p in alpha_payloads("TPU SMOKE")]
+    bits = np.concatenate([build_stream(cws), np.zeros(200, np.uint8)])
+    levels = np.array([1.0, -1.0], np.float32)  # inverted mapping
+    samples = np.stack(
+        [np.repeat(levels[bits], 40) * 1000] * 2).astype(np.float32)
+    pipe = FskPipeline(channels=2, protocol="pocsag", n_centuries=2)
+    bank, outputs, _ = _bank(pipe, PocsagAdapter())
+    _push(bank, samples)
+    ok = all(b"message:TPU SMOKE" in outputs[c] for c in range(2))
+    return ok, f"outputs {[outputs[c][:60] for c in range(2)]}"
+
+
+def main(only=None):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     except Exception:
         pass
-    from digiham_tpu.pipeline import DmrPipeline
-    from digiham_tpu.protocols.dmr.phases import pack_dibits
-    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
-    from dmr_synth import voice_frame
-
-    levels = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
-    rng = np.random.default_rng(42)
-    payload = np.tile([1, 3, 0, 2], 27)
-    frames = [voice_frame(s % 2, payload, sync=True) for s in range(12)]
-    dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
-    base = np.repeat(levels[dibits], 10) * 1000
-    samples = np.stack(
-        [base + rng.normal(0, noise, base.shape) for _ in range(channels)]
-    ).astype(np.float32)
-
-    pipe = DmrPipeline(channels=channels, sps=10, n_centuries=2)
-    outputs = {c: b"" for c in range(channels)}
-    bank = TrackedChannelBank(
-        pipe, on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d))
-    for lo in range(0, samples.shape[1], 8192):
-        bank.push(samples[:, lo:lo + 8192])
-    want = pack_dibits(payload)
-    ok = sum(want in outputs[c] for c in range(channels))
-    print("backend:", jax.devices()[0].platform)
-    print(f"channels with TX payload decoded: {ok}/{channels}")
-    print("TPU SMOKE:", "PASS" if ok == channels else "FAIL")
-    return 0 if ok == channels else 1
+    print("backend:", jax.devices()[0].platform, flush=True)
+    cases = {"dmr": smoke_dmr, "ysf": smoke_ysf, "nxdn": smoke_nxdn,
+             "dstar": smoke_dstar, "pocsag": smoke_pocsag}
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
+    failed = []
+    for name, fn in cases.items():
+        try:
+            ok, detail = fn()
+        except Exception as e:  # noqa: BLE001
+            ok, detail = False, f"EXCEPTION {e!r}"
+        print(f"{name}: {'PASS' if ok else 'FAIL'} ({detail})", flush=True)
+        if not ok:
+            failed.append(name)
+    print("TPU SMOKE:", "PASS" if not failed else f"FAIL {failed}")
+    return 0 if not failed else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(*(int(a) for a in sys.argv[1:2])))
+    sys.exit(main(sys.argv[1:] or None))
