@@ -30,11 +30,15 @@ class DmrAdapter:
 
     def block_hits(self, outputs) -> np.ndarray | None:
         """[C] bool: does the device's dense correlation see any
-        potential sync in this block? (<=3 over any of the 4 patterns)"""
+        potential sync in this block? (<=3 over any of the 4 patterns)
+        Reduced ON DEVICE — fetching the dense [C, S, 4] distances cost
+        ~800 KB/step of host<->device traffic (the round-2 soak measured
+        this as the dominant cost of the bank's push loop)."""
         d = outputs.get("sync_dist_dense")
         if d is None:
             return None
-        return (np.asarray(d) <= 3).any(axis=(1, 2))
+        import jax.numpy as jnp
+        return np.asarray(jnp.any(d <= 3, axis=(1, 2)))
 
     def make_hunt(self, meta=None):
         from ..protocols.dmr.phases import SyncPhase
@@ -82,7 +86,8 @@ class YsfAdapter:
         d = outputs.get("sync_dist_dense")
         if d is None:
             return None
-        return (np.asarray(d) <= 3).any(axis=1)
+        import jax.numpy as jnp
+        return np.asarray(jnp.any(d <= 3, axis=1))
 
     def make_hunt(self, meta=None):
         from ..protocols.ysf.phases import SyncPhase
@@ -123,7 +128,8 @@ class NxdnAdapter:
         d = outputs.get("sync_dist_dense")
         if d is None:
             return None
-        return (np.asarray(d) <= 2).any(axis=1)
+        import jax.numpy as jnp
+        return np.asarray(jnp.any(d <= 2, axis=1))
 
     def make_hunt(self, meta=None):
         from ..protocols.nxdn.phases import SyncPhase
@@ -180,8 +186,8 @@ class DstarAdapter:
         v = outputs.get("sync_dist_voice_sync")
         if h is None or v is None:
             return None
-        return ((np.asarray(h) <= 2).any(axis=1)
-                | (np.asarray(v) <= 1).any(axis=1))
+        import jax.numpy as jnp
+        return np.asarray(jnp.any(h <= 2, axis=1) | jnp.any(v <= 1, axis=1))
 
     def make_hunt(self, meta=None):
         from ..protocols.dstar.fields_phase import DstarHuntPhase
@@ -230,7 +236,8 @@ class PocsagAdapter:
         d = outputs.get("sync_dist_preamble")
         if d is None:
             return None
-        return (np.asarray(d) <= 3).any(axis=1)
+        import jax.numpy as jnp
+        return np.asarray(jnp.any(d <= 3, axis=1))
 
     def make_hunt(self, meta=None):
         from ..protocols.pocsag import SyncPhase
