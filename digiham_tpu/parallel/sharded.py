@@ -83,6 +83,7 @@ def sharded_rrc_filter(mesh: Mesh, samples: jnp.ndarray,
         local, mesh=mesh,
         in_specs=P("channel", "time"),
         out_specs=P("channel", "time"),
+        check_vma=False,  # pallas_call inside shard_map lacks vma info
     )
     return f(samples)
 
@@ -134,6 +135,7 @@ def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray,
         local, mesh=mesh,
         in_specs=P("channel", "time"),
         out_specs=(P("channel", "time", None), P("channel")),
+        check_vma=False,  # pallas_call inside shard_map lacks vma info
     )
     return jax.jit(f)(samples)
 
@@ -196,6 +198,7 @@ def sharded_fsk_step(mesh: Mesh, samples: jnp.ndarray,
         local, mesh=mesh,
         in_specs=P("channel", "time"),
         out_specs=(out_spec, P("channel")),
+        check_vma=False,  # pallas_call inside shard_map lacks vma info
     )
     return jax.jit(f)(samples)
 
@@ -264,5 +267,6 @@ def sharded_gfsk_step(mesh: Mesh, samples: jnp.ndarray,
         local, mesh=mesh,
         in_specs=P("channel", "time"),
         out_specs=out_specs,
+        check_vma=False,  # pallas_call inside shard_map lacks vma info
     )
     return jax.jit(f)(samples)

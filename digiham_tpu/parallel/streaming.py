@@ -220,7 +220,8 @@ class TimeShardedDmrPipeline:
                        volume_ring=P("channel", None)),
         )
         f = jax.shard_map(local, mesh=self.mesh,
-                          in_specs=in_specs, out_specs=out_specs)
+                          in_specs=in_specs, out_specs=out_specs,
+                          check_vma=False)  # pallas in shard_map
         return jax.jit(f)
 
     # ------------------------------------------------------------------

@@ -90,6 +90,41 @@ def test_fsk_matches_xla(invert):
     _assert_state_match(st_p, st_x)
 
 
+def test_pallas_under_shard_map():
+    """The Pallas kernel composes with shard_map channel sharding (the
+    production mesh-bank topology on TPU): per-shard interpret-mode
+    kernel output equals the unsharded XLA path."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from digiham_tpu.dsp.demod import _demod_block_xla
+    from digiham_tpu.ops.demod_pallas import pallas_demod_block
+    from digiham_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(21)
+    channels, n_cent, sps = 16, 2, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, 0.07))
+    st = demod_init(channels)
+    want, st_x = _demod_block_xla(sig, st, n_cent, sps, "gfsk", False)
+
+    mesh = make_mesh(n_channel_shards=2, n_time_shards=1)
+
+    def shard_fn(x, pos, off, ring):
+        d, s = pallas_demod_block(
+            x, DemodState(pos, off, ring), n_cent, sps, mode="gfsk",
+            interpret=True)
+        return d, s.pos, s.offset, s.volume_ring
+
+    f = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("channel"),) * 4,
+        out_specs=(P("channel"),) * 4,
+        check_vma=False)  # pallas_call provides no vma info
+    got, pos, off, ring = f(sig, st.pos, st.offset, st.volume_ring)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(DemodState(pos, off, ring), st_x)
+
+
 def test_auto_dispatch_guard():
     """_demod_block_auto: Pallas branch for in-range pos, XLA fallback
     branch past the shift bound — both match the plain XLA path."""
