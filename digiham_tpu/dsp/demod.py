@@ -246,29 +246,33 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
     return jax.lax.cond(ok, pallas_branch, xla_branch, (samples, state))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def gfsk_demod_block(samples: jnp.ndarray, state: DemodState,
                      n_centuries: int, sps: int = 10,
-                     _unused: bool = False):
+                     _unused: bool = False, impl: str = "auto"):
     """4FSK demodulate a block.
 
     samples: [C, L] float32 with L >= max(state.pos) + n_centuries*(100*sps
     + 1) + 1 slack per century of potential slew.
+    impl: "auto" (Pallas kernel on TPU, XLA elsewhere) or "xla" (force the
+    XLA scan — required under GSPMD auto-partitioning, which cannot shard
+    the Mosaic custom call; shard_map paths keep "auto").
     Returns (dibits [C, n_centuries*100] uint8, new DemodState). The new
     state's ``pos`` stays relative to this block's origin; the stream driver
     rebases it when it discards consumed samples.
     """
-    if _pallas_demod_default(samples.shape[0]):
+    if impl == "auto" and _pallas_demod_default(samples.shape[0]):
         return _demod_block_auto(samples, state, n_centuries, sps,
                                  "gfsk", False)
     return _demod_block_xla(samples, state, n_centuries, sps, "gfsk", False)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fsk_demod_block(samples: jnp.ndarray, state: DemodState,
-                    n_centuries: int, sps: int = 40, invert: bool = False):
+                    n_centuries: int, sps: int = 40, invert: bool = False,
+                    impl: str = "auto"):
     """2FSK demodulate a block: bits 0/1 per symbol. See gfsk_demod_block."""
-    if _pallas_demod_default(samples.shape[0]):
+    if impl == "auto" and _pallas_demod_default(samples.shape[0]):
         return _demod_block_auto(samples, state, n_centuries, sps,
                                  "fsk", invert)
     return _demod_block_xla(samples, state, n_centuries, sps, "fsk", invert)

@@ -239,7 +239,8 @@ class DmrPipeline:
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps)
+            filtered, state.demod, self.n_centuries, self.sps,
+            impl=getattr(self, "demod_impl", "auto"))
         sync_dist_dense = dmr_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         frames = dibits[:, :n_frames * FRAME_SIZE].reshape(

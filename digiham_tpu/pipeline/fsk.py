@@ -87,7 +87,8 @@ class FskPipeline:
         if self.rrc is not None:
             x, rrc_state = rrc_filter_block(x, state.rrc, self.rrc)
         bits, demod_state = fsk_demod_block(
-            x, state.demod, self.n_centuries, self.sps, self.invert)
+            x, state.demod, self.n_centuries, self.sps, self.invert,
+            impl=getattr(self, "demod_impl", "auto"))
         outputs = {"dibits": bits}
         for name, pattern in self.patterns.items():
             outputs[f"sync_dist_{name}"] = bit_sync_correlate(bits, pattern)

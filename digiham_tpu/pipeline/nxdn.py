@@ -96,7 +96,8 @@ class NxdnPipeline:
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps)
+            filtered, state.demod, self.n_centuries, self.sps,
+            impl=getattr(self, "demod_impl", "auto"))
         outputs = {"dibits": dibits,
                    "sync_dist_dense": nxdn_sync_correlate(dibits)}
         return outputs, NxdnPipelineState(rrc_state, demod_state)

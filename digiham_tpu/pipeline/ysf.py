@@ -144,7 +144,8 @@ class YsfPipeline:
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps)
+            filtered, state.demod, self.n_centuries, self.sps,
+            impl=getattr(self, "demod_impl", "auto"))
         sync_dist_dense = ysf_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         fields = {}

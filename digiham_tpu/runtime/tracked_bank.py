@@ -319,6 +319,13 @@ class TrackedChannelBank:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
 
+            # The mesh bank shards via jit + NamedSharding (GSPMD), which
+            # cannot auto-partition the Mosaic (Pallas) custom call — pin
+            # the XLA demod here. Must happen before the first step()
+            # trace (jit caches on the pipeline instance). The shard_map
+            # paths in parallel/ keep the Pallas kernel per-shard.
+            pipeline.demod_impl = "xla"
+
             axis = ("channel" if "channel" in mesh.axis_names
                     else mesh.axis_names[0])
             n_shards = mesh.shape[axis]
