@@ -22,12 +22,13 @@ from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
 from digiham_tpu.protocols.dmr.phases import pack_dibits
 from dmr_synth import voice_frame
 
-C = 64
+C = int(os.environ.get("SOAK_CHANNELS", "64"))
 rng = np.random.default_rng(7)
 payload = np.tile([1, 3, 0, 2], 27)
 want = pack_dibits(payload)
 # long stream: 400 voice frames (~12 s of air time per channel)
-frames = [voice_frame(s % 2, payload, sync=True) for s in range(400)]
+N_FRAMES = int(os.environ.get("SOAK_FRAMES", "400"))
+frames = [voice_frame(s % 2, payload, sync=True) for s in range(N_FRAMES)]
 dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
 base = np.repeat(dibits_levels := (np.array([1.,3.,-1.,-3.])/3)[dibits], 10) * 1000
 pipe = DmrPipeline(channels=C, sps=10, n_centuries=8)
@@ -44,7 +45,7 @@ for lo in range(0, L, 8192):
 wall = time.perf_counter() - t0
 good = sum(outputs[c].count(want) for c in range(C))
 # slot arbitration passes one of the two alternating TDMA slots
-expect_per_ch = 200
+expect_per_ch = N_FRAMES // 2
 total_frames = expect_per_ch * C
 print(f"blocks={blocks} wall={wall:.1f}s "
       f"samples={C*L/1e6:.1f}M ({C*L/wall/1e6:.1f} MS/s through host loop)")
