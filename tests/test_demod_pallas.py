@@ -74,6 +74,22 @@ def test_gfsk_streaming_carry():
         st_p = DemodState(st_p.pos - shift, st_p.offset, st_p.volume_ring)
 
 
+def test_gfsk_sps20_matches_xla():
+    """NXDN configuration (sps=20)."""
+    rng = np.random.default_rng(20)
+    channels, n_cent, sps = 8, 2, 20
+    tx = rng.integers(0, 4, (channels, n_cent * 100 + 4))
+    sig = np.repeat(LEVELS[tx], sps, axis=-1) * 800
+    sig = (sig + rng.normal(0, 60, sig.shape)).astype(np.float32)
+    sig = jnp.asarray(sig)
+    st = demod_init(channels)
+    want, st_x = gfsk_demod_block(sig, st, n_cent, sps)
+    got, st_p = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_p, st_x)
+
+
 @pytest.mark.parametrize("invert", [False, True])
 def test_fsk_matches_xla(invert):
     rng = np.random.default_rng(40 + invert)
