@@ -204,13 +204,15 @@ def _demod_block_xla(samples, state, n_centuries, sps, mode, invert):
 def _pallas_demod_default(channels: int) -> bool:
     """Fused Pallas century kernel on TPU (honestly benched 2.25x the XLA
     scan in round 2: 1.0 ms vs 2.25 ms per 256ch x 8-century step).
-    Override with DIGIHAM_DEMOD_PALLAS=0/1."""
-    import os
+    Override with DIGIHAM_DEMOD_PALLAS=0/1 (a truthy override forces the
+    kernel even on non-TPU backends, which fails loudly at lowering)."""
+    from ..utils import env_flag
+
     if channels % 8 != 0:
         return False
-    env = os.environ.get("DIGIHAM_DEMOD_PALLAS")
+    env = env_flag("DIGIHAM_DEMOD_PALLAS")
     if env is not None:
-        return env not in ("0", "false", "")
+        return env
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -219,15 +221,17 @@ def _pallas_demod_default(channels: int) -> bool:
 
 def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
                       interpret=False):
-    """Pallas kernel with a runtime guard: falls back to the XLA scan for
-    states outside the kernel's aligned-shift bound (pos far from the
-    block origin — never the case for the stream drivers, which rebase
-    pos below ~2*sps each block). Both branches are decision-identical
-    (tests/test_demod_pallas.py)."""
+    """Pallas kernel with a runtime guard: states outside the kernel's
+    aligned-shift bound (pos far from the block origin — never the case
+    for the stream drivers, which rebase pos below ~2*sps each block)
+    take a cold branch that REBASES each channel's row to pos 0 and runs
+    the same Pallas kernel — bit-identical output, and both cond
+    branches compile in seconds (an XLA-scan fallback here would re-pay
+    the multi-minute scan compile the kernel exists to avoid)."""
     from ..ops.demod_pallas import SH_BOUND, pallas_demod_block
 
     ok = (state.pos.min() >= 0) & (state.pos.max() < SH_BOUND - 256)
-    C = samples.shape[0]
+    C, L = samples.shape
     # largest channel tile that divides the bank (tile=32 measured ~15%
     # faster than 8 at 256ch: bigger selection matmuls, fewer grid steps)
     tile = next(t for t in (32, 16, 8) if C % t == 0)
@@ -238,12 +242,25 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
                                   mode=mode, invert=invert, tile=tile,
                                   interpret=interpret)
 
-    def xla_branch(args):
+    def rebase_branch(args):
+        # per-channel dynamic-slice rebase (scalar-core gather — fine on
+        # this cold path), then the identical kernel at pos'=0
         samples, state = args
-        return _demod_block_xla(samples, state, n_centuries, sps, mode,
-                                invert)
+        shift = jnp.clip(state.pos, 0, L)
+        padded = jnp.pad(samples, ((0, 0), (0, L)))
+        rows = jax.vmap(
+            lambda row, p: jax.lax.dynamic_slice(row, (p,), (L,))
+        )(padded, shift)
+        st0 = DemodState(jnp.zeros_like(state.pos), state.offset,
+                         state.volume_ring)
+        dib, st1 = pallas_demod_block(rows, st0, n_centuries, sps,
+                                      mode=mode, invert=invert, tile=tile,
+                                      interpret=interpret)
+        return dib, DemodState(st1.pos + shift, st1.offset,
+                               st1.volume_ring)
 
-    return jax.lax.cond(ok, pallas_branch, xla_branch, (samples, state))
+    return jax.lax.cond(ok, pallas_branch, rebase_branch,
+                        (samples, state))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))

@@ -151,13 +151,15 @@ def _pallas_default(channels: int) -> bool:
     The kernel rides channels on the 128-wide lane axis, and Mosaic
     requires lane-dim slices aligned to the 128 tiling — so only banks
     with channels % 128 == 0 take the kernel (smaller banks are
-    latency-trivial anyway). Override with DIGIHAM_RRC_PALLAS=0/1."""
-    import os
+    latency-trivial anyway). Override with DIGIHAM_RRC_PALLAS=0/1 (a
+    truthy override forces the kernel even off-TPU — fails loudly)."""
+    from ..utils import env_flag
+
     if channels % 128 != 0:
         return False
-    env = os.environ.get("DIGIHAM_RRC_PALLAS")
+    env = env_flag("DIGIHAM_RRC_PALLAS")
     if env is not None:
-        return env not in ("0", "false", "")
+        return env
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -165,7 +167,7 @@ def _pallas_default(channels: int) -> bool:
 
 
 def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
-                     design: RrcDesign = WIDE_RRC):
+                     design: RrcDesign = WIDE_RRC, impl: str = "auto"):
     """Filter one block. samples: [channels, block] float32.
 
     Returns (filtered [channels, block], new state). Output sample t equals
@@ -173,8 +175,10 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
     On TPU the kernel is the Pallas channels-in-lanes FIR (ops/fir.py);
     both paths are within 1 ulp of each other (sequential vs HIGHEST-
     precision conv accumulation — the documented f32 envelope).
+    impl: "auto" or "xla" — "xla" forces the conv (required under GSPMD
+    auto-partitioning, which cannot shard the Mosaic custom call).
     """
-    if _pallas_default(samples.shape[0]):
+    if impl == "auto" and _pallas_default(samples.shape[0]):
         from ..ops.fir import rrc_filter_block_pallas
         y, hist = rrc_filter_block_pallas(
             samples, state.history, design.scaled_taps)

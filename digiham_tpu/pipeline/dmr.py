@@ -212,9 +212,10 @@ class DmrPipeline:
             demod=demod_init(self.channels),
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
     def step_iq(self, iq: jnp.ndarray, last_iq: jnp.ndarray,
-                state: DmrPipelineState):
+                state: DmrPipelineState, impl: str | None = None):
         """Raw-IQ ingest variant: [C, L] complex64 -> FM discriminator ->
         the sample pipeline (the on-device equivalent of the reference's
         external rtl_fm front end). last_iq: [C] carry.
@@ -222,25 +223,34 @@ class DmrPipeline:
         from ..dsp.fm import fm_discriminator
 
         audio, iq_carry = fm_discriminator(iq, last_iq)
-        out, new_state = self.step(audio * 5000.0, state)
+        out, new_state = self.step(audio * 5000.0, state, impl=impl)
         return out, iq_carry, new_state
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, samples: jnp.ndarray, state: DmrPipelineState):
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
+    def step(self, samples: jnp.ndarray, state: DmrPipelineState,
+             impl: str | None = None):
         """samples: [C, L] float32 (L >= pos_max + n_centuries*(100*sps+1)).
 
         Returns (outputs dict, new state): dibits [C, S], sync distances
         [C, S-23, 4], and frame fields decoded at every 144-aligned offset
         ([C, S//144, ...]).
+
+        impl: None (use self.demod_impl, default "auto") or "xla" —
+        "xla" forces the XLA RRC conv + demod scan; pass it per call
+        when stepping under GSPMD auto-partitioning (mesh banks), which
+        cannot shard Mosaic custom calls. Being a static argument, each
+        impl gets its own jit trace — no attribute-mutation hazards.
         """
+        impl = impl or getattr(self, "demod_impl", None) or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, WIDE_RRC)
+                samples, state.rrc, WIDE_RRC, impl=impl)
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps,
-            impl=getattr(self, "demod_impl", "auto"))
+            impl=impl)
         sync_dist_dense = dmr_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         frames = dibits[:, :n_frames * FRAME_SIZE].reshape(

@@ -80,15 +80,19 @@ class FskPipeline:
                      if self.rrc is not None else None)
         return FskPipelineState(rrc_state, demod_init(self.channels))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, samples: jnp.ndarray, state: FskPipelineState):
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
+    def step(self, samples: jnp.ndarray, state: FskPipelineState,
+             impl: str | None = None):
+        impl = impl or getattr(self, "demod_impl", None) or "auto"
         x = samples
         rrc_state = state.rrc
         if self.rrc is not None:
-            x, rrc_state = rrc_filter_block(x, state.rrc, self.rrc)
+            x, rrc_state = rrc_filter_block(x, state.rrc, self.rrc,
+                                            impl=impl)
         bits, demod_state = fsk_demod_block(
             x, state.demod, self.n_centuries, self.sps, self.invert,
-            impl=getattr(self, "demod_impl", "auto"))
+            impl=impl)
         outputs = {"dibits": bits}
         for name, pattern in self.patterns.items():
             outputs[f"sync_dist_{name}"] = bit_sync_correlate(bits, pattern)

@@ -88,16 +88,19 @@ class NxdnPipeline:
         return NxdnPipelineState(RrcState.init(self.channels, NARROW_RRC),
                                  demod_init(self.channels))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, samples: jnp.ndarray, state: NxdnPipelineState):
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
+    def step(self, samples: jnp.ndarray, state: NxdnPipelineState,
+             impl: str | None = None):
+        impl = impl or getattr(self, "demod_impl", None) or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, NARROW_RRC)
+                samples, state.rrc, NARROW_RRC, impl=impl)
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps,
-            impl=getattr(self, "demod_impl", "auto"))
+            impl=impl)
         outputs = {"dibits": dibits,
                    "sync_dist_dense": nxdn_sync_correlate(dibits)}
         return outputs, NxdnPipelineState(rrc_state, demod_state)

@@ -136,16 +136,19 @@ class YsfPipeline:
         return YsfPipelineState(RrcState.init(self.channels, WIDE_RRC),
                                 demod_init(self.channels))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def step(self, samples: jnp.ndarray, state: YsfPipelineState):
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
+    def step(self, samples: jnp.ndarray, state: YsfPipelineState,
+             impl: str | None = None):
+        impl = impl or getattr(self, "demod_impl", None) or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, WIDE_RRC)
+                samples, state.rrc, WIDE_RRC, impl=impl)
         else:
             filtered, rrc_state = samples, state.rrc
         dibits, demod_state = gfsk_demod_block(
             filtered, state.demod, self.n_centuries, self.sps,
-            impl=getattr(self, "demod_impl", "auto"))
+            impl=impl)
         sync_dist_dense = ysf_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         fields = {}

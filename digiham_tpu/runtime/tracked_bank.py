@@ -315,16 +315,15 @@ class TrackedChannelBank:
         self._jnp = jnp
         self.mesh = mesh
         self._shard = None
+        # The mesh bank shards via jit + NamedSharding (GSPMD), which
+        # cannot auto-partition Mosaic (Pallas) custom calls — pass
+        # impl="xla" per step call (a static jit argument, so it gets
+        # its own trace; no attribute-mutation/stale-cache hazards).
+        # The shard_map paths in parallel/ keep the Pallas kernels.
+        self._step_kwargs = {} if mesh is None else {"impl": "xla"}
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
-
-            # The mesh bank shards via jit + NamedSharding (GSPMD), which
-            # cannot auto-partition the Mosaic (Pallas) custom call — pin
-            # the XLA demod here. Must happen before the first step()
-            # trace (jit caches on the pipeline instance). The shard_map
-            # paths in parallel/ keep the Pallas kernel per-shard.
-            pipeline.demod_impl = "xla"
 
             axis = ("channel" if "channel" in mesh.axis_names
                     else mesh.axis_names[0])
@@ -417,7 +416,8 @@ class TrackedChannelBank:
             with self._meter.measure(
                     self.channels * self.pipeline.n_centuries * 100
                     * self.pipeline.sps):
-                out, self.state = self.pipeline.step(block_j, self.state)
+                out, self.state = self.pipeline.step(
+                    block_j, self.state, **self._step_kwargs)
                 hits = self.adapter.block_hits(out) \
                     if hasattr(self.adapter, "block_hits") else None
                 self._consume_dibits(np.asarray(out["dibits"]), hits)

@@ -54,3 +54,24 @@ def dump_hex(data, prefix: str = "") -> None:
         asciipart = "".join(chr(b) if 32 <= b < 127 else "." for b in chunk)
         print(f"{prefix}{i:08x}  {hexpart:<47}  {asciipart}",
               file=sys.stderr)
+
+
+def env_flag(name: str) -> bool | None:
+    """Strict boolean env-var parse for kernel overrides.
+
+    Returns None if unset. Accepts 1/true/on/yes and 0/false/off/no/""
+    (case-insensitive); any other value is ignored with a warning rather
+    than silently counting as "enabled"."""
+    import os
+    import warnings
+
+    raw = os.environ.get(name)
+    if raw is None:
+        return None
+    v = raw.strip().lower()
+    if v in ("1", "true", "on", "yes"):
+        return True
+    if v in ("0", "false", "off", "no", ""):
+        return False
+    warnings.warn(f"{name}={raw!r} is not a recognized boolean; ignoring")
+    return None
