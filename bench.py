@@ -141,11 +141,15 @@ def main():
 
     total_samples = channels * samples_per_step
     msps = total_samples / dt_step / 1e6
+    # BASELINE.json north star also names "frames decoded/s": every
+    # 144-dibit frame window in the block is field-decoded on device
+    frames_per_step = channels * (n_cent * 100 // 144)
     result = {
         "metric": "dmr_iq_pipeline_throughput",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 0.048, 1),
+        "frames_decoded_per_s": round(frames_per_step / dt_step, 0),
         "channels": channels,
         "samples_per_step": samples_per_step,
         "unroll": unroll,
