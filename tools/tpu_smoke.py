@@ -59,10 +59,21 @@ def smoke_dmr(channels=8, noise=60.0):
     ).astype(np.float32)
     pipe = DmrPipeline(channels=channels, sps=10, n_centuries=2)
     bank, outputs, _ = _bank(pipe, channels=channels)
-    _push(bank, samples)
+    # snapshot/restore mid-stream into a FRESH bank on hardware: the
+    # continuation must decode as if uninterrupted (checkpoint contract)
+    half = (samples.shape[1] // 2 // 8192) * 8192
+    _push(bank, samples[:, :half])
+    blob = bank.snapshot()
+    pipe2 = DmrPipeline(channels=channels, sps=10, n_centuries=2)
+    bank2, outputs2, _ = _bank(pipe2, channels=channels)
+    for c in range(channels):
+        outputs2[c] = outputs[c]
+    bank2.restore(blob)
+    _push(bank2, samples[:, half:])
     want = pack_dibits(payload)
-    ok = sum(want in outputs[c] for c in range(channels))
-    return ok == channels, f"{ok}/{channels} channels decoded TX payload"
+    ok = sum(want in outputs2[c] for c in range(channels))
+    return ok == channels, (f"{ok}/{channels} channels decoded TX payload "
+                            f"(mid-stream snapshot/restore at {half})")
 
 
 def smoke_ysf():
