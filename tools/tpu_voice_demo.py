@@ -1,0 +1,128 @@
+"""Full voice-chain demo on the REAL TPU — the on-device equivalent of
+the reference's examples/dmr-decoder.sh:
+
+    IQ -> fm_discriminator -> Pallas RRC -> Pallas GFSK demod ->
+    TrackedChannelBank (sync/FEC/trackers) -> 27-byte voice frames ->
+    MbeSynthesizer over a REAL unix socket (mock codecserver speaking
+    the protobuf wire format) -> 8 kHz PCM -> digitalvoice_filter.
+
+Asserts: bit-exact voice frames decoded from IQ on hardware, PCM
+returned over the socket for every AMBE frame shipped, and the device
+IIR filter producing output within 1 LSB of the host oracle.
+"""
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    except Exception:
+        pass
+    from digiham_tpu.codec import MbeSynthesizer, TableMode
+    from digiham_tpu.dsp.audio import (DigitalVoiceFilterNp,
+                                       DigitalVoiceState,
+                                       digitalvoice_filter)
+    from digiham_tpu.pipeline import DmrPipeline
+    from digiham_tpu.protocols.dmr.phases import pack_dibits
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+    from dmr_synth import voice_frame
+    from test_codec_socket import UnixMockServer
+
+    print("backend:", jax.devices()[0].platform, flush=True)
+
+    # ---- TX: synthesize a noisy DMR voice transmission as raw IQ ----
+    rng = np.random.default_rng(11)
+    C = 8
+    payload = np.tile([1, 3, 0, 2], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(16)]
+    dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
+    # dibit -> frequency level -> phase integral (DMR 4FSK @ 48k,
+    # ±648/±1944 Hz deviation — same recipe as the e2e verify drive)
+    levels = np.array([1.0, 3.0, -1.0, -3.0])
+    freq = np.repeat(levels[dibits], 10) * 1944.0 / 3
+    phase = 2 * np.pi * np.cumsum(freq) / 48000.0
+    iq = np.exp(1j * phase).astype(np.complex64)
+    iq = iq + (rng.normal(0, 0.05, iq.shape)
+               + 1j * rng.normal(0, 0.05, iq.shape)).astype(np.complex64)
+    iq = np.stack([iq] * C)
+
+    # ---- RX: device pipeline (FM -> RRC -> demod) + tracked bank ----
+    pipe = DmrPipeline(channels=C, sps=10, n_centuries=2)
+    outputs = {c: b"" for c in range(C)}
+    bank = TrackedChannelBank(
+        pipe, on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d))
+    from digiham_tpu.dsp.fm import fm_discriminator
+
+    @jax.jit
+    def fm_front(re, im, last):
+        # complex64 host->device transfer is unimplemented on this
+        # tunnel backend; combine re/im on device
+        audio, last = fm_discriminator(re + 1j * im, last)
+        return audio * 5000.0, last
+
+    last = jax.jit(lambda: jnp.ones((C,), jnp.complex64))()
+    for lo in range(0, iq.shape[1], 8192):
+        blk = iq[:, lo:lo + 8192]
+        audio, last = fm_front(jnp.asarray(blk.real.copy()),
+                               jnp.asarray(blk.imag.copy()), last)
+        bank.push(np.asarray(audio))
+    bank.flush()  # finite recording: drain the buffered tail (EOF path)
+    want = pack_dibits(payload)
+    n_ok = sum(want in outputs[c] for c in range(C))
+    n_frames = outputs[0].count(want)
+    print(f"IQ->voice: {n_ok}/{C} channels bit-exact, "
+          f"{n_frames} frames on ch0", flush=True)
+
+    # ---- codec bridge: frames over a real unix socket ----
+    path = os.path.join(tempfile.mkdtemp(), "codecserver.sock")
+    server = UnixMockServer(path)
+    server.start()
+    synth = MbeSynthesizer(path)
+    synth.set_mode(TableMode(33))  # DMR AMBE table mode
+    assert synth.channel_bytes() == 9
+    voice = outputs[0]
+    n_ambe = 0
+    for off in range(0, len(voice) - 8, 9):
+        synth.process(voice[off:off + 9])
+        n_ambe += 1
+    deadline = time.time() + 10
+    pcm = b""
+    while len(pcm) < 320 * n_ambe and time.time() < deadline:
+        pcm += synth.read_pcm()
+        time.sleep(0.01)
+    synth.close()
+    print(f"codec bridge: {n_ambe} AMBE frames -> {len(pcm)} PCM bytes "
+          f"({'complete' if len(pcm) == 320 * n_ambe else 'INCOMPLETE'})",
+          flush=True)
+
+    # ---- audio post-filter on device vs host oracle ----
+    pcm16 = np.frombuffer(pcm, np.int16)
+    got, _ = digitalvoice_filter(jnp.asarray(pcm16)[None, :],
+                                 DigitalVoiceState.init(1))
+    oracle = DigitalVoiceFilterNp().process(pcm16)
+    diff = np.abs(np.asarray(got)[0].astype(np.int32)
+                  - oracle.astype(np.int32)).max()
+    print(f"digitalvoice_filter: device vs oracle max diff {diff} LSB",
+          flush=True)
+
+    # TX alternates voice between both TDMA slots; slot arbitration
+    # passes the active slot only => 8 of the 16 frames, 3 AMBE each
+    ok = (n_ok == C and len(pcm) == 320 * n_ambe and diff <= 1
+          and n_ambe >= 7 * 3)
+    print("VOICE DEMO:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
