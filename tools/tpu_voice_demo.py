@@ -120,8 +120,70 @@ def main():
     # passes the active slot only => 8 of the 16 frames, 3 AMBE each
     ok = (n_ok == C and len(pcm) == 320 * n_ambe and diff <= 1
           and n_ambe >= 7 * 3)
+
+    ysf_ok, ysf_detail = ysf_dynamic_leg(jax, jnp)
+    print(f"YSF dynamic codec: {'PASS' if ysf_ok else 'FAIL'} "
+          f"({ysf_detail})", flush=True)
+    ok = ok and ysf_ok
     print("VOICE DEMO:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def ysf_dynamic_leg(jax, jnp):
+    """YSF leg: mixed V/D1 + V/D2 transmission decoded on the TPU, its
+    mode-byte voice stream driving MbeSynthesizer's DynamicMode over a
+    real socketpair — the in-stream codec renegotiation the reference
+    does with --yaesu (mbe cli.cpp:281-317, SURVEY hard part #5)."""
+    import numpy as np
+    from digiham_tpu.codec import MbeSynthesizer  # noqa: F401
+    from digiham_tpu.codec.modes import DynamicMode, ysf_mode_for
+    from digiham_tpu.pipeline import YsfPipeline
+    from digiham_tpu.runtime.tracked_bank import (TrackedChannelBank,
+                                                  YsfAdapter)
+    from test_codec import make_pair
+    from ysf_synth import (header_frame, terminator_frame, v1_frame,
+                           vd2_frame)
+
+    rng = np.random.default_rng(5)
+    parts = [np.zeros(60, np.uint8),
+             header_frame(b"DEST", b"SRC", b"DOWN", b"UP")]
+    for fn in range(3):  # DN (V/D2) -> mode byte 2
+        parts.append(vd2_frame(fn, b"TPUYSFDYN "))
+    for fn in range(3):  # V/D1 -> mode byte 0
+        parts.append(v1_frame(fn + 3, rng.integers(0, 4, 36)))
+    parts.append(terminator_frame())
+    parts.append(np.zeros(200, np.uint8))
+    dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    levels = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+    samples = np.stack([np.repeat(levels[dibits], 10) * 1000] * 2
+                       ).astype(np.float32)
+
+    pipe = YsfPipeline(channels=2, sps=10, n_centuries=5)
+    outputs = {c: b"" for c in range(2)}
+    bank = TrackedChannelBank(
+        pipe, adapter=YsfAdapter(),
+        on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d))
+    for lo in range(0, samples.shape[1], 8192):
+        bank.push(samples[:, lo:lo + 8192])
+    stream = outputs[0]
+    if not stream:
+        return False, "no voice output decoded"
+
+    server, synth = make_pair()
+    synth.set_mode(DynamicMode(ysf_mode_for))
+    shipped = synth.process(stream)
+    deadline = time.time() + 10
+    expect_pcm = 2 * (len(stream) - shipped)  # mock echoes 2x payload
+    pcm = b""
+    while len(pcm) < expect_pcm and time.time() < deadline:
+        pcm += synth.read_pcm()
+        time.sleep(0.01)
+    renegs = list(server.renegotiations)
+    synth.close()
+    ok = (shipped >= 25 and len(pcm) == expect_pcm and len(renegs) >= 1
+          and {"index": "34"} in renegs)
+    return ok, (f"{shipped} frames shipped, {len(pcm)} PCM bytes, "
+                f"renegotiations {renegs}")
 
 
 if __name__ == "__main__":
