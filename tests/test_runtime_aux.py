@@ -130,3 +130,24 @@ class TestMetricsWiring:
         assert meter.items == before + 2 * 100 * 10
         assert any('"rate_per_s"' in ln and "tracked_bank[1ch]" in ln
                    for ln in lines)
+
+
+class TestEnvFlag:
+    def test_strict_parsing(self, monkeypatch):
+        from digiham_tpu.utils import env_flag
+
+        monkeypatch.delenv("DIGIHAM_TEST_FLAG", raising=False)
+        assert env_flag("DIGIHAM_TEST_FLAG") is None
+        for v in ("1", "true", "ON", "Yes"):
+            monkeypatch.setenv("DIGIHAM_TEST_FLAG", v)
+            assert env_flag("DIGIHAM_TEST_FLAG") is True, v
+        for v in ("0", "false", "OFF", "no", ""):
+            monkeypatch.setenv("DIGIHAM_TEST_FLAG", v)
+            assert env_flag("DIGIHAM_TEST_FLAG") is False, v
+        # unrecognized values are ignored (not treated as enable)
+        import warnings
+        monkeypatch.setenv("DIGIHAM_TEST_FLAG", "maybe")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert env_flag("DIGIHAM_TEST_FLAG") is None
+            assert len(w) == 1
