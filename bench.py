@@ -52,7 +52,10 @@ def main():
 
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
     sps = 10
-    n_cent = int(os.environ.get("BENCH_CENTURIES", "8"))
+    # 16 centuries (333 ms of air time per step) measured ~8% higher
+    # throughput than 8 and equal to 32 — the throughput-optimal block
+    # size; latency-sensitive streaming deployments would pick 8
+    n_cent = int(os.environ.get("BENCH_CENTURIES", "16"))
     reps = int(os.environ.get("BENCH_REPS", "12"))  # async in-flight calls
     unroll = int(os.environ.get("BENCH_UNROLL", "32"))
 
