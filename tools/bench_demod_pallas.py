@@ -53,6 +53,9 @@ def main():
         "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
                                                    mode="gfsk", tile=tile),
     }
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only.split(",")}
     if os.environ.get("BENCH_ABLATE"):
         # perf attribution: each variant removes one kernel stage
         # (results are intentionally wrong — timing only)
