@@ -17,12 +17,15 @@ RTT-proof methodology (this session's TPU sits behind a tunnel with
 - the HEADLINE is sustained wall-clock throughput: N calls dispatched
   async, every checksum fetched to host (``int(ck)`` — on this backend
   block_until_ready alone does NOT wait), total samples / total wall
-  seconds. No RTT probe is subtracted; per-call latency overlaps across
-  the in-flight calls exactly as a production serving loop would run.
-  Serial per-call latency is also reported for transparency.
-- measured invariance: per-step sustained time is flat across
-  unroll=8/32/64 (4.5-5.2 ms/step at 256ch x 8 centuries), confirming
-  the number is compute-bound, not dispatch-bound.
+  seconds. No RTT probe is subtracted.
+- round-2 finding: this tunnel SERIALIZES dispatches (a trivial
+  program's sustained time equals ~RTT regardless of async depth), so
+  every per-step number carries a floor of ~RTT/unroll. unroll=128
+  amortizes it to ~0.2 ms/step; the floor is also measured directly
+  (same-unroll trivial program) and reported as
+  ``dispatch_floor_per_step`` so the reader can see how much of the
+  headline is tunnel, not compute. The headline itself stays
+  unsubtracted.
 
 Baseline: the reference is a real-time single-channel CPU pipeline at
 48 kS/s per channel (BASELINE.md). ``vs_baseline`` is the number of
@@ -56,8 +59,8 @@ def main():
     # throughput than 8 and equal to 32 — the throughput-optimal block
     # size; latency-sensitive streaming deployments would pick 8
     n_cent = int(os.environ.get("BENCH_CENTURIES", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "12"))  # async in-flight calls
-    unroll = int(os.environ.get("BENCH_UNROLL", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))  # async in-flight calls
+    unroll = int(os.environ.get("BENCH_UNROLL", "128"))
 
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=n_cent)
     samples_per_step = n_cent * 100 * sps  # per channel, consumed
@@ -81,16 +84,34 @@ def main():
 
     @jax.jit
     def step_k(seed, state0):
-        """K dependent raw-IQ pipeline steps, one dispatch, scalar out."""
+        """K dependent raw-IQ pipeline steps, one dispatch, scalar out.
+
+        Input generation: ONE random base stream per dispatch; each step
+        reads a distinct overlapping [C, L] window of it (stride 512 —
+        lane-aligned so the window is a zero-copy view, and the
+        production streaming access pattern). Profiling showed the
+        original per-step threefry normal() alone cost 0.97 ms — 57% of
+        the measured step — pure harness artifact (production reads IQ
+        from HBM, it does not synthesize it), and a per-step jnp.roll
+        derivation still cost ~0.2 ms of copy traffic. Strided window
+        reads keep the per-step HBM input read (fused into the FM
+        discriminator) and keep inputs distinct per step (no XLA CSE),
+        so the timed region is the pipeline plus an honest fresh-input
+        read, nothing less.
+        """
+        stride = 512
         state = state0
         last_iq = jnp.ones((channels,), jnp.complex64)
         acc = jnp.int32(0)
+        key = jax.random.key(seed)
+        kr, ki = jax.random.split(key)
+        LB = L + stride * (unroll - 1)
+        base = (jax.random.normal(kr, (channels, LB), jnp.float32)
+                + 1j * jax.random.normal(ki, (channels, LB), jnp.float32)
+                ).astype(jnp.complex64)
         for k in range(unroll):
-            key = jax.random.key(seed * unroll + k)
-            kr, ki = jax.random.split(key)
-            iq = (jax.random.normal(kr, (channels, L), jnp.float32)
-                  + 1j * jax.random.normal(ki, (channels, L), jnp.float32)
-                  ).astype(jnp.complex64)
+            iq = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
+                                      axis=1)
             out, last_iq, state = pipe.step_iq(iq, last_iq, state)
             acc = acc + checksum(out)
             state = rebase(state)
@@ -99,6 +120,17 @@ def main():
                + state.demod.volume_ring.sum().astype(jnp.int32)
                + state.demod.offset.sum()
                + state.rrc.history.sum().astype(jnp.int32))
+        return acc
+
+    @jax.jit
+    def floor_k(seed):
+        """Same-unroll trivial program: measures the serialized-dispatch
+        floor (~RTT/unroll per step) that every step number carries."""
+        acc = jnp.float32(0)
+        base = jax.random.normal(jax.random.key(seed), (8, 256),
+                                 jnp.float32)
+        for k in range(unroll):
+            acc = acc + (base * (k + 1)).sum()
         return acc
 
     @jax.jit
@@ -139,6 +171,13 @@ def main():
     assert len(set(checks)) > 1 or reps == 1, (
         "identical outputs across reps — stale-result cache suspected")
     rtt = measure_rtt()
+    # serialized-dispatch floor at this unroll (trivial program)
+    for w in range(2):
+        float(floor_k(seed_base + 700000 + w))
+    t0 = time.perf_counter()
+    for r in range(3):
+        float(floor_k(seed_base + 710000 + r))
+    floor_step = (time.perf_counter() - t0) / (3 * unroll)
     n_steps = reps * unroll
     dt_step = wall / n_steps
 
@@ -161,6 +200,7 @@ def main():
         "per_step_seconds": round(dt_step, 6),
         "serial_call_seconds": [round(t, 5) for t in serial],
         "tunnel_rtt_seconds": round(rtt, 5),
+        "dispatch_floor_per_step": round(floor_step, 6),
         "rep_checksums": checks,
         "backend": jax.devices()[0].platform,
     }

@@ -36,11 +36,21 @@ def main():
     def make_step(demod):
         @jax.jit
         def step_k(seed, state0):
+            # one base stream per dispatch + per-step overlapping strided
+            # windows: keeps the per-step HBM input read and input
+            # distinctness while keeping the threefry normal() harness
+            # cost (~0.5 ms/step for [256, 16k] f32) out of the timed
+            # region — see bench.py
+            stride = 512
             state = state0
             acc = jnp.int32(0)
+            base = jax.random.normal(jax.random.key(seed),
+                                     (channels,
+                                      L + stride * (unroll - 1)),
+                                     jnp.float32) * 500
             for k in range(unroll):
-                key = jax.random.key(seed * unroll + k)
-                x = jax.random.normal(key, (channels, L), jnp.float32) * 500
+                x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
+                                         axis=1)
                 dib, state = demod(x, state)
                 acc = acc + dib.astype(jnp.int32).sum()
                 state.pos = jnp.zeros_like(state.pos)
@@ -49,6 +59,9 @@ def main():
         return step_k
 
     variants = {
+        # dispatch-floor probe: this tunnel serializes calls, so every
+        # per-step number has a floor of ~RTT/unroll — subtract this row
+        "floor": lambda x, st: ((x[:, :128] * 2.0).astype(jnp.uint8), st),
         "xla": lambda x, st: gfsk_demod_block(x, st, n_cent, sps),
         "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
                                                    mode="gfsk", tile=tile),

@@ -34,11 +34,20 @@ def bench_pipe(name, pipe, channels, reps, unroll, jax, jnp):
 
     @jax.jit
     def step_k(seed, state0):
+        # one base stream per dispatch + per-step overlapping strided
+        # windows (the production streaming access pattern): keeps the
+        # per-step HBM input read and input distinctness while keeping
+        # the threefry normal() harness cost out of the timed region
+        # (~0.5 ms/step at [256, 16k] f32 — see bench.py)
+        stride = 512
         state = state0
         acc = jnp.float32(0)
+        base = jax.random.normal(jax.random.key(seed),
+                                 (channels, L + stride * (unroll - 1)),
+                                 jnp.float32) * 100.0
         for k in range(unroll):
-            key = jax.random.key(seed * unroll + k)
-            block = jax.random.normal(key, (channels, L), jnp.float32) * 100.0
+            block = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
+                                         axis=1)
             out, state = pipe.step(block, state)
             acc = acc + sum(jnp.sum(v.astype(jnp.float32))
                             for v in jax.tree.leaves(out))
