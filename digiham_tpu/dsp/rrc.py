@@ -145,25 +145,79 @@ class RrcState:
         return RrcState(jnp.zeros((channels, design.ntaps - 1), jnp.float32))
 
 
-def _pallas_default(channels: int) -> bool:
-    """Pallas FIR on TPU (honestly benched 2.5x the XLA conv in round 2:
-    0.45 ms vs 1.9 ms kernel time at 256ch x 8089); XLA conv elsewhere.
-    The kernel rides channels on the 128-wide lane axis, and Mosaic
-    requires lane-dim slices aligned to the 128 tiling — so only banks
-    with channels % 128 == 0 take the kernel (smaller banks are
-    latency-trivial anyway). Override with DIGIHAM_RRC_PALLAS=0/1 (a
-    truthy override forces the kernel even off-TPU — fails loudly)."""
+def _tpu_impl(channels: int) -> str | None:
+    """TPU fast-path selection for the RRC stage.
+
+    Default on TPU is the banded-matmul formulation (MXU): measured
+    ~15 us per 256ch x 16k-sample step vs ~315 us for the Pallas
+    shifted-accumulate kernel and ~6.5 ms for the XLA conv (round 2,
+    dispatch-floor-subtracted A/B in tools/bench_fir.py) — the FIR is
+    0.33 GMAC of dense linear algebra and belongs on the systolic
+    array, not the VPU. DIGIHAM_RRC_PALLAS=1 forces the Pallas kernel
+    (channels % 8 == 0 only); DIGIHAM_RRC_MATMUL=0 disables the matmul
+    path. Off-TPU returns None (XLA conv)."""
     from ..utils import env_flag
 
-    if channels % 128 != 0:
-        return False
-    env = env_flag("DIGIHAM_RRC_PALLAS")
-    if env is not None:
-        return env
+    if env_flag("DIGIHAM_RRC_PALLAS") and channels % 8 == 0:
+        return "pallas"
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
-        return False
+        return None
+    if on_tpu and env_flag("DIGIHAM_RRC_MATMUL") is not False:
+        return "matmul"
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_matrix(taps_key: str, ntaps: int, win: int) -> np.ndarray:
+    """[win, 128] f32 banded matrix B[k, n] = taps[k - n] (0 <= k-n <
+    ntaps), so one 128-wide output block is window @ B."""
+    design = {"wide": WIDE_RRC, "narrow": NARROW_RRC}[taps_key]
+    taps = design.scaled_taps
+    B = np.zeros((win, 128), np.float32)
+    for n in range(128):
+        B[n:n + ntaps, n] = taps
+    return B
+
+
+def _rrc_filter_block_matmul(samples: jnp.ndarray, state: RrcState,
+                             design: RrcDesign):
+    """TPU fast path: the FIR as a banded block matmul on the MXU.
+
+    y[t] = sum_j taps[j] * xfull[t + j] for xfull = [history | samples];
+    blocking t into 128-lane groups makes each group one
+    [C, win] @ [win, 128] matmul with a static banded RHS, which XLA
+    runs on the MXU at HIGHEST precision (bf16x3 passes, within ~1 ulp
+    of the f32 conv — the same precision class as the conv path). The
+    VPU formulations (Pallas shifted-accumulate, XLA conv) measured
+    ~1.0 ms / 6.5 ms at 256ch x 16k samples; the MXU does the same
+    0.33 GMAC in tens of microseconds.
+    """
+    ntaps = design.ntaps
+    halo = ntaps - 1
+    C, T = samples.shape
+    x = jnp.concatenate([state.history, samples], axis=-1)
+    new_state = RrcState(x[:, x.shape[-1] - halo:])
+    nb = -(-T // 128)
+    halo_pad = -(-halo // 128) * 128
+    win = 128 + halo_pad
+    Lp = nb * 128 + halo_pad
+    if Lp != x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, Lp - x.shape[-1])))
+    # overlapping [C, nb, win] windows from (halo_pad/128 + 1) aligned
+    # strided views — reshapes of shifted slices, no gather
+    views = [
+        x[:, s * 128:s * 128 + nb * 128].reshape(C, nb, 128)
+        for s in range(win // 128)
+    ]
+    windows = jnp.concatenate(views, axis=-1)  # [C, nb, win]
+    B = jnp.asarray(_banded_matrix(design.name, ntaps, win))
+    y = jax.lax.dot_general(
+        windows, B, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [C, nb, 128]
+    return y.reshape(C, nb * 128)[:, :T], new_state
 
 
 def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
@@ -172,17 +226,22 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
 
     Returns (filtered [channels, block], new state). Output sample t equals
     the reference's ``filter()`` output after shifting in input sample t.
-    On TPU the kernel is the Pallas channels-in-lanes FIR (ops/fir.py);
-    both paths are within 1 ulp of each other (sequential vs HIGHEST-
-    precision conv accumulation — the documented f32 envelope).
-    impl: "auto" or "xla" — "xla" forces the conv (required under GSPMD
-    auto-partitioning, which cannot shard the Mosaic custom call).
+    On TPU the default is the banded-matmul MXU path (see
+    :func:`_rrc_filter_block_matmul`); all paths are within ~1 ulp of
+    each other (sequential / HIGHEST-precision conv / bf16x3 matmul
+    accumulation — the documented f32 envelope).
+    impl: "auto" or "xla" — "xla" forces the conv (the GSPMD-safe
+    reference path used by mesh banks and the CPU goldens).
     """
-    if impl == "auto" and _pallas_default(samples.shape[0]):
-        from ..ops.fir import rrc_filter_block_pallas
-        y, hist = rrc_filter_block_pallas(
-            samples, state.history, design.scaled_taps)
-        return y, RrcState(hist)
+    if impl == "auto":
+        fast = _tpu_impl(samples.shape[0])
+        if fast == "matmul":
+            return _rrc_filter_block_matmul(samples, state, design)
+        if fast == "pallas":
+            from ..ops.fir import rrc_filter_block_pallas
+            y, hist = rrc_filter_block_pallas(
+                samples, state.history, design.scaled_taps)
+            return y, RrcState(hist)
     taps = jnp.asarray(design.scaled_taps)
     x = jnp.concatenate([state.history, samples], axis=-1)
     # correlate: y[t] = sum_j taps[j] * x_full[t + j]; newest sample gets

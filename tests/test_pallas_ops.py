@@ -12,27 +12,65 @@ pytestmark = pytest.mark.skipif(not pallas_fir_available(),
                                 reason="pallas unavailable")
 
 
+@pytest.mark.parametrize("layout", ["cmajor", "tmajor"])
 @pytest.mark.parametrize("design", [WIDE_RRC, NARROW_RRC])
-def test_matches_conv_path(design):
+def test_matches_conv_path(design, layout):
     rng = np.random.default_rng(0)
     C, T = 8, 700
     x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
     hist = jnp.asarray(rng.normal(0, 1, (C, design.ntaps - 1))
                        .astype(np.float32))
     y_p, h_p = rrc_filter_block_pallas(x, hist, design.scaled_taps,
-                                       interpret=True)
+                                       interpret=True, layout=layout)
     y_c, st = rrc_filter_block(x, RrcState(hist), design)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(st.history))
 
 
-def test_non_multiple_block():
+def test_layouts_bit_identical():
+    """cmajor and tmajor kernels accumulate taps in the same order, so
+    their f32 outputs must match bit-for-bit."""
+    rng = np.random.default_rng(7)
+    C, T = 8, 1200
+    x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
+    hist = jnp.asarray(rng.normal(0, 1, (C, WIDE_RRC.ntaps - 1))
+                       .astype(np.float32))
+    y_cm, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
+                                      interpret=True, layout="cmajor")
+    y_tm, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
+                                      interpret=True, layout="tmajor")
+    np.testing.assert_array_equal(np.asarray(y_cm), np.asarray(y_tm))
+
+
+@pytest.mark.parametrize("design", [WIDE_RRC, NARROW_RRC])
+@pytest.mark.parametrize("T", [700, 513, 4096])
+def test_matmul_fir_matches_conv(design, T):
+    """The banded-matmul MXU formulation (TPU default) stays within the
+    f32 envelope of the conv path and carries the identical state."""
+    from digiham_tpu.dsp.rrc import _rrc_filter_block_matmul
+
+    rng = np.random.default_rng(5)
+    C = 8
+    x = jnp.asarray(rng.normal(0, 100, (C, T)).astype(np.float32))
+    hist = jnp.asarray(rng.normal(0, 100, (C, design.ntaps - 1))
+                       .astype(np.float32))
+    y_m, st_m = _rrc_filter_block_matmul(x, RrcState(hist), design)
+    y_c, st_c = rrc_filter_block(x, RrcState(hist), design, impl="xla")
+    scale = float(jnp.max(jnp.abs(y_c)))
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_c),
+                               atol=2e-5 * scale)
+    np.testing.assert_array_equal(np.asarray(st_m.history),
+                                  np.asarray(st_c.history))
+
+
+@pytest.mark.parametrize("layout", ["cmajor", "tmajor"])
+def test_non_multiple_block(layout):
     """T not a multiple of the tile size exercises the padding path."""
     rng = np.random.default_rng(1)
     C, T = 4, 513
     x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
     hist = jnp.zeros((C, WIDE_RRC.ntaps - 1), jnp.float32)
     y_p, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
-                                     interpret=True)
+                                     interpret=True, layout=layout)
     y_c, _ = rrc_filter_block(x, RrcState(hist), WIDE_RRC)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c), atol=1e-5)
