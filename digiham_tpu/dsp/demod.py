@@ -228,13 +228,14 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
     the same Pallas kernel — bit-identical output, and both cond
     branches compile in seconds (an XLA-scan fallback here would re-pay
     the multi-minute scan compile the kernel exists to avoid)."""
-    from ..ops.demod_pallas import SH_BOUND, pallas_demod_block
+    from ..ops.demod_pallas import (POS_GUARD, pallas_demod_block,
+                                    pick_tile)
 
-    ok = (state.pos.min() >= 0) & (state.pos.max() < SH_BOUND - 256)
+    ok = (state.pos.min() >= 0) & (state.pos.max() < POS_GUARD)
     C, L = samples.shape
-    # largest channel tile that divides the bank (tile=32 measured ~15%
-    # faster than 8 at 256ch: bigger selection matmuls, fewer grid steps)
-    tile = next(t for t in (32, 16, 8) if C % t == 0)
+    # largest VMEM-safe channel tile that divides the bank (wider tiles
+    # measured faster at 256ch: bigger selection matmuls, fewer grid steps)
+    tile = pick_tile(C, L, n_centuries, sps)
 
     def pallas_branch(args):
         samples, state = args

@@ -14,10 +14,14 @@ single kernel per channel tile:
   timing sums) is ONE selection matmul on the MXU:
   ``window[TILE, 100*sps] @ SEL[100*sps, 100|sps]`` — the [100, sps]
   reshape never materializes;
-- the AGC's 100-wide sliding min/max uses the same two-block
-  cumulative-extrema trick as the XLA path, with the cumulative scans
-  as log2 shifted-max steps (max/min are exact, so this is bit-identical
-  to any other association);
+- the AGC's 100-wide sliding min/max and the symbol slicer run ONCE for
+  the whole block after the century loop (they do not feed the serial
+  pos/offset chain): per-century volume averages concatenate into one
+  [TILE, (n_centuries+1)*100] sequence and two segmented prefix/suffix
+  extrema scans (log2 masked shifted-max steps — exact, min/max
+  associative) yield every window at once. Batching this out of the
+  loop measured ~3x on the whole kernel (the per-century version was
+  ~450 tiny VPU ops of pure issue overhead);
 - the ±1 timing slew is the same three-shifted-views select as the XLA
   path (dsp/demod.py _century), so symbol windows are identical.
 
@@ -60,44 +64,45 @@ def _selection_matrices(sps: int):
     return sel_vol, sel_mid, p_col
 
 
-def _cummax_lanes(x, reverse=False):
-    """Inclusive cumulative max along the last axis via log-steps of
-    static shifted maxes (exact — max is associative)."""
-    n = x.shape[-1]
-    sh = 1
-    while sh < n:
-        if reverse:
-            shifted = jnp.concatenate(
-                [x[..., sh:], jnp.full_like(x[..., :sh], -np.inf)], -1)
-        else:
-            shifted = jnp.concatenate(
-                [jnp.full_like(x[..., :sh], -np.inf), x[..., :-sh]], -1)
-        x = jnp.maximum(x, shifted)
-        sh *= 2
-    return x
+POS_GUARD = 128  # hot path requires 0 <= pos < POS_GUARD (see wrapper)
+_BACKOFF = 255   # max (aligned base behind pos): 128 backoff + floor error
 
 
-def _cummin_lanes(x, reverse=False):
-    return -_cummax_lanes(-x, reverse=reverse)
+def _shift_bound(n_centuries: int) -> int:
+    """Max per-century (pos - aligned century base): the block-relative
+    start position (< POS_GUARD, wrapper-guarded) + the 128-aligned
+    backoff (<= 255) + the cumulative +-1 timing slew (<= n_centuries)."""
+    return POS_GUARD - 1 + _BACKOFF + n_centuries
 
 
-def _sliding_minmax_100_k(ring, vol):
-    """Pallas twin of dsp.demod._sliding_minmax_100 over the lane axis.
-
-    ring, vol: [TILE, 100]. Window i spans concat[i+1 : i+101]."""
-    suf_max = _cummax_lanes(ring, reverse=True)
-    suf_min = _cummin_lanes(ring, reverse=True)
-    pre_max = _cummax_lanes(vol)
-    pre_min = _cummin_lanes(vol)
-    left_max = jnp.concatenate([suf_max[:, 1:], suf_max[:, -1:]], -1)
-    left_min = jnp.concatenate([suf_min[:, 1:], suf_min[:, -1:]], -1)
-    use_left = (jax.lax.broadcasted_iota(jnp.int32, ring.shape, 1) < 99)
-    wmax = jnp.where(use_left, jnp.maximum(left_max, pre_max), pre_max)
-    wmin = jnp.where(use_left, jnp.minimum(left_min, pre_min), pre_min)
-    return wmin, wmax
-
-
-SH_BOUND = 512  # max supported (pos - aligned century base); see wrapper
+def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
+    """Largest channel tile that divides C and keeps one grid step's
+    input row block inside a conservative VMEM budget (measured: tile=128
+    at [128, 16512] f32 = 8.4 MB compiles and is the fastest at 256ch x
+    16 centuries; wider selection matmuls use more MXU rows and fewer
+    grid steps amortize fixed work)."""
+    import os
+    env = os.environ.get("DIGIHAM_DEMOD_TILE")
+    if env and C % int(env) == 0:
+        return int(env)
+    span = CENTURY * sps + 1
+    n = CENTURY * sps
+    load = -(-(span + _shift_bound(n_centuries)) // 128) * 128
+    last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
+    L_pad = -(-max(L, last_start + load) // 128) * 128
+    # scoped VMEM is 16 MB and Mosaic double-buffers the grid-varying
+    # input and output blocks; the selection matrices add ~0.9 MB.
+    # Auto-pick caps at 32: tile=64/128 kernels compile standalone but
+    # the remote TPU compile helper crashes on heavily-unrolled programs
+    # embedding them (observed round 2), and with the batched-AGC kernel
+    # the 32->64 gain is inside the dispatch-floor noise anyway; the
+    # DIGIHAM_DEMOD_TILE override above remains for experiments.
+    budget = 14 * 2 ** 20
+    for t in (32, 16, 8):
+        need = 2 * t * L_pad * 4 + 2 * t * n_centuries * 128 * 4
+        if C % t == 0 and need <= budget:
+            return t
+    return next(t for t in (32, 16, 8) if C % t == 0)
 
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
@@ -111,7 +116,42 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
     lo, hi = _eval_bounds(sps)
     n = CENTURY * sps
     span = n + 1
-    n_stages = max(1, (SH_BOUND + 128 - 1).bit_length())
+    bound = _shift_bound(n_centuries)
+    # MSB-first shifter: once every stage >= 128 has run, the residual
+    # shift is < 128, so the remaining stages only need the first
+    # round_up(127 + span, 128) lanes — progressive narrowing cuts the
+    # low-stage roll width by ~1/3 at sps=10
+    amts = [1 << k for k in reversed(range(bound.bit_length()))]
+    narrow = -(-(127 + span) // 128) * 128
+
+    n_sym = n_centuries * CENTURY
+    out_w = -(-n_sym // 128) * 128
+    big_w = (n_centuries + 1) * CENTURY
+    pad_w = -(-big_w // 128) * 128
+
+    def _seg_scan_minmax(x, reverse):
+        """Per-CENTURY-segment inclusive cumulative min and max along
+        lanes (exact — min/max associative). Segments start at lane 0;
+        rolls wrap across boundaries but the segment mask discards them."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        width = x.shape[-1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % CENTURY
+        mn = mx = x
+        sh = 1
+        while sh < CENTURY:
+            if reverse:
+                sm_n = pltpu.roll(mn, width - sh, axis=1)
+                sm_x = pltpu.roll(mx, width - sh, axis=1)
+                keep = idx < CENTURY - sh
+            else:
+                sm_n = pltpu.roll(mn, sh, axis=1)
+                sm_x = pltpu.roll(mx, sh, axis=1)
+                keep = idx >= sh
+            mn = jnp.where(keep, jnp.minimum(mn, sm_n), mn)
+            mx = jnp.where(keep, jnp.maximum(mx, sm_x), mx)
+            sh *= 2
+        return mn, mx
 
     def kernel(sel_vol_ref, sel_mid_ref, p_col_ref,
                y_ref, pos_ref, off_ref, ring_ref,
@@ -122,23 +162,30 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
         ring = ring_ref[:, :]
         offset = off_ref[:, 0]          # [TILE] int32
         pos = pos_ref[:, 0]             # [TILE] int32
+        vols = []                       # per-century [TILE, 100] volume avgs
+        mids = []                       # per-century [TILE, 100] mid-thirds
 
         for c in range(n_centuries):
             # one aligned static window per century; per-channel alignment
             # to pos[ch] via the log-stage shifter (left-rotate by bit k of
-            # the shift where set — static rolls + per-row selects only)
+            # the shift where set — static rolls + per-row selects only),
+            # MSB-first so the view can narrow once the residual is < 128
             start_c = max(0, (c * n // 128) * 128 - 128)
             W = y_ref[:, start_c:start_c + load]
-            sh = pos - start_c          # [TILE] >= 0, < SH_BOUND + 128
+            sh = pos - start_c          # [TILE] >= 0, <= bound
             if "shift" not in ablate:
-                for k in range(n_stages):
-                    amt = 1 << k
-                    rolled = pltpu.roll(W, load - amt, axis=1)
+                for amt in amts:
+                    if amt == 64:
+                        W = W[:, :narrow]
+                    width = W.shape[1]
+                    rolled = pltpu.roll(W, width - amt, axis=1)
                     W = jnp.where(((sh & amt) != 0)[:, None], rolled, W)
+            if W.shape[1] != narrow:
+                W = W[:, :narrow]
             # W[:, t] == samples[ch, pos[ch] + t] for t < span
             # three shifted views (pending +-1 slew), row 0 unshifted
             v0 = W[:, 0:n]
-            vp = pltpu.roll(W, load - 1, axis=1)[:, 0:n]
+            vp = pltpu.roll(W, narrow - 1, axis=1)[:, 0:n]
             # right-rotate wraps garbage into lane 0 — masked by first_sym
             vm = pltpu.roll(W, 1, axis=1)[:, 0:n]
             offc = offset[:, None]
@@ -152,30 +199,8 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                               preferred_element_type=jnp.float32) / sps
             mid_avg = jnp.dot(sym_flat, sel_mid,
                               preferred_element_type=jnp.float32) / (hi - lo)
-
-            # AGC thresholds from the 100-symbol sliding volume window
-            if "agc" in ablate:
-                vmin_l = jnp.full_like(vol_avg, -1.0)
-                wmax = jnp.ones_like(vol_avg)
-            else:
-                vmin_l, wmax = _sliding_minmax_100_k(ring, vol_avg)
-            vmax = jnp.maximum(wmax, FLT_MIN)
-            center = (vmax + vmin_l) / 2
-
-            if mode == "gfsk":
-                umid = (vmax - center) * 0.625 + center
-                lmid = (vmin_l - center) * 0.625 + center
-                dib = jnp.where(
-                    mid_avg > center,
-                    jnp.where(mid_avg > umid, 1, 0),
-                    jnp.where(mid_avg < lmid, 3, 2),
-                ).astype(jnp.int32)
-            else:
-                one = 0 if invert else 1
-                dib = jnp.where(mid_avg > center, one, 1 - one).astype(
-                    jnp.int32)
-            # 128-aligned per-century store block (lanes 100..127 unused)
-            dib_ref[:, c * 128:c * 128 + CENTURY] = dib
+            vols.append(vol_avg)
+            mids.append(mid_avg)
 
             # timing: per-column variance of the century window
             if "timing" in ablate:
@@ -201,11 +226,56 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
 
             pos = pos + n + offset
             offset = new_offset
-            ring = vol_avg
 
         pos_out[:, 0] = pos
         off_out[:, 0] = offset
-        ring_out[:, :] = ring
+        ring_out[:, :] = vols[-1]
+
+        # --- batched AGC + slicer over every century at once ----------
+        # flat symbol t (century c, symbol i, t = c*100 + i) draws its
+        # 100-wide sliding window from big = [ring | vol_0 | ... ], lanes
+        # [t+1, t+101). With per-segment prefix (P) and suffix (S)
+        # extrema over 100-lane segments, window start s gives
+        # wmin[s] = min(S[s], P[s+99]) — exact, any association.
+        mid_flat = jnp.concatenate(mids, axis=1)       # [TILE, n_sym]
+        if mid_flat.shape[1] != out_w:
+            mid_flat = jnp.concatenate(
+                [mid_flat,
+                 jnp.zeros((tile, out_w - n_sym), jnp.float32)], axis=1)
+        if "agc" in ablate:
+            vmin_flat = jnp.full_like(mid_flat, -1.0)
+            wmax_flat = jnp.ones_like(mid_flat)
+        else:
+            big = jnp.concatenate([ring] + vols, axis=1)
+            if big.shape[1] != pad_w:
+                big = jnp.concatenate(
+                    [big,
+                     jnp.zeros((tile, pad_w - big_w), jnp.float32)],
+                    axis=1)
+            s_mn, s_mx = _seg_scan_minmax(big, reverse=True)
+            p_mn, p_mx = _seg_scan_minmax(big, reverse=False)
+            # lane t -> S[t+1] and P[t+100] (window start s = t+1)
+            vmin_flat = jnp.minimum(
+                pltpu.roll(s_mn, pad_w - 1, axis=1),
+                pltpu.roll(p_mn, pad_w - CENTURY, axis=1))[:, :out_w]
+            wmax_flat = jnp.maximum(
+                pltpu.roll(s_mx, pad_w - 1, axis=1),
+                pltpu.roll(p_mx, pad_w - CENTURY, axis=1))[:, :out_w]
+        vmax = jnp.maximum(wmax_flat, FLT_MIN)
+        center = (vmax + vmin_flat) / 2
+        if mode == "gfsk":
+            umid = (vmax - center) * 0.625 + center
+            lmid = (vmin_flat - center) * 0.625 + center
+            dib = jnp.where(
+                mid_flat > center,
+                jnp.where(mid_flat > umid, 1, 0),
+                jnp.where(mid_flat < lmid, 3, 2),
+            ).astype(jnp.int32)
+        else:
+            one = 0 if invert else 1
+            dib = jnp.where(mid_flat > center, one, 1 - one).astype(
+                jnp.int32)
+        dib_ref[:, :] = dib
 
     return kernel
 
@@ -222,10 +292,9 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
-    Requires pos[ch] - 128*floor(c*100*sps/128) < SH_BOUND + 128 for every
-    century c a channel reads — i.e. the block-relative start position plus
-    cumulative slew stays under ~SH_BOUND (streaming drivers rebase pos to
-    < 2*sps, far inside the bound).
+    Requires 0 <= pos[ch] < POS_GUARD (streaming drivers rebase pos to
+    < 2*sps, far inside the bound; the dsp.demod dispatch guards and
+    rebases otherwise).
     Returns (symbols [C, n_centuries*100] uint8, new DemodState).
     """
     from jax.experimental import pallas as pl
@@ -235,7 +304,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     assert C % tile == 0, (C, tile)
     span = CENTURY * sps + 1
     n = CENTURY * sps
-    load = -(-(span + SH_BOUND + 128) // 128) * 128
+    load = -(-(span + _shift_bound(n_centuries)) // 128) * 128
     # right-pad so every century's aligned [start_c, start_c + load) read
     # stays in bounds
     last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
@@ -247,6 +316,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
                           ablate)
     sel_vol, sel_mid, p_col = _selection_matrices(sps)
+    out_w = -(-(n_centuries * CENTURY) // 128) * 128
 
     dib, pos, off, ring = pl.pallas_call(
         kernel,
@@ -268,7 +338,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, n_centuries * 128), lambda i: (i, 0),
+            pl.BlockSpec((tile, out_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -278,7 +348,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, n_centuries * 128), jnp.int32),
+            jax.ShapeDtypeStruct((C, out_w), jnp.int32),
             jax.ShapeDtypeStruct((C, 1), jnp.int32),
             jax.ShapeDtypeStruct((C, 1), jnp.int32),
             jax.ShapeDtypeStruct((C, CENTURY), jnp.float32),
@@ -287,5 +357,5 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     )(jnp.asarray(sel_vol), jnp.asarray(sel_mid), jnp.asarray(p_col),
       samples, state.pos[:, None], state.offset[:, None],
       state.volume_ring)
-    dib = dib.reshape(C, n_centuries, 128)[:, :, :CENTURY].reshape(C, -1)
+    dib = dib[:, :n_centuries * CENTURY]
     return dib.astype(jnp.uint8), DemodState(pos[:, 0], off[:, 0], ring)

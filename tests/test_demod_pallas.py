@@ -145,11 +145,11 @@ def test_auto_dispatch_guard():
     """_demod_block_auto: Pallas branch for in-range pos, XLA fallback
     branch past the shift bound — both match the plain XLA path."""
     from digiham_tpu.dsp.demod import _demod_block_auto, _demod_block_xla
-    from digiham_tpu.ops.demod_pallas import SH_BOUND
+    from digiham_tpu.ops.demod_pallas import POS_GUARD
 
     rng = np.random.default_rng(3)
     channels, n_cent, sps = 8, 2, 10
-    far = SH_BOUND  # beyond the guard => must take the XLA branch
+    far = POS_GUARD  # beyond the guard => must take the rebase branch
     sig = _gfsk_sig(rng, channels, n_cent * 100 + 8, sps, 0.05)
     sig = np.concatenate(
         [np.zeros((channels, far), np.float32), sig], axis=-1)
