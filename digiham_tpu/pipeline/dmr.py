@@ -52,22 +52,13 @@ def dmr_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
     """Dense sync correlation: [C, T] dibits -> [C, T-23, 4] distances.
 
     Replaces the reference's symbol-at-a-time scan (dmr_phase.cpp:39-47)
-    with one batched correlation over every offset and all 4 patterns —
-    as 24 shifted XOR-popcount accumulations per pattern (static slices,
-    no gather: gathers hit the TPU scalar core).
+    with one batched correlation over every offset and all 4 patterns as
+    a single exact convolution on the MXU (ops/correlate.py; no gather:
+    gathers hit the TPU scalar core).
     """
-    d = dibits.astype(jnp.int32)
-    T = d.shape[-1]
-    n_off = T - SYNC_SIZE + 1
-    out = []
-    for pat in _SYNC_PATTERNS:
-        acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
-        for k in range(SYNC_SIZE):
-            acc = acc + jax.lax.population_count(
-                jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
-                ^ int(pat[k]))
-        out.append(acc)
-    return jnp.stack(out, axis=-1)
+    from ..ops.correlate import sync_correlate_conv
+
+    return sync_correlate_conv(dibits, _SYNC_PATTERNS, 4)
 
 
 def _pack_dibits_27(dibits108: jnp.ndarray) -> jnp.ndarray:

@@ -21,15 +21,11 @@ from ..protocols.pocsag import parse_codewords
 
 
 def bit_sync_correlate(bits: jnp.ndarray, pattern: np.ndarray):
-    """[C, T] bits -> [C, T-len+1] distances via shifted XOR adds."""
-    b = bits.astype(jnp.int32)
-    n = len(pattern)
-    n_off = b.shape[-1] - n + 1
-    acc = jnp.zeros(b.shape[:-1] + (n_off,), jnp.int32)
-    for k in range(n):
-        acc = acc + (jax.lax.slice_in_dim(b, k, k + n_off, axis=-1)
-                     ^ int(pattern[k]))
-    return acc
+    """[C, T] bits -> [C, T-len+1] distances (one exact MXU
+    convolution, ops/correlate.py)."""
+    from ..ops.correlate import sync_correlate_conv
+
+    return sync_correlate_conv(bits, [np.asarray(pattern)], 2)[..., 0]
 
 
 @jax.tree_util.register_pytree_node_class

@@ -20,16 +20,11 @@ from ..protocols.nxdn.phases import FRAME_SYNC, SYNC_SIZE
 
 @jax.jit
 def nxdn_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
-    """[C, T] dibits -> [C, T-9] distances to the NXDN frame sync."""
-    d = dibits.astype(jnp.int32)
-    T = d.shape[-1]
-    n_off = T - SYNC_SIZE + 1
-    acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
-    for k in range(SYNC_SIZE):
-        acc = acc + jax.lax.population_count(
-            jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
-            ^ int(FRAME_SYNC[k]))
-    return acc
+    """[C, T] dibits -> [C, T-9] distances to the NXDN frame sync (one
+    exact MXU convolution, ops/correlate.py)."""
+    from ..ops.correlate import sync_correlate_conv
+
+    return sync_correlate_conv(dibits, [FRAME_SYNC], 4)[..., 0]
 
 
 def _descramble(d: jnp.ndarray, offset: int) -> jnp.ndarray:

@@ -33,16 +33,11 @@ from ..protocols.ysf.phases import (
 
 @jax.jit
 def ysf_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
-    """[C, T] dibits -> [C, T-19] distances to the YSF sync word."""
-    d = dibits.astype(jnp.int32)
-    T = d.shape[-1]
-    n_off = T - SYNC_SIZE + 1
-    acc = jnp.zeros(d.shape[:-1] + (n_off,), jnp.int32)
-    for k in range(SYNC_SIZE):
-        acc = acc + jax.lax.population_count(
-            jax.lax.slice_in_dim(d, k, k + n_off, axis=-1)
-            ^ int(YSF_SYNC[k]))
-    return acc
+    """[C, T] dibits -> [C, T-19] distances to the YSF sync word (one
+    exact MXU convolution, ops/correlate.py)."""
+    from ..ops.correlate import sync_correlate_conv
+
+    return sync_correlate_conv(dibits, [YSF_SYNC], 4)[..., 0]
 
 
 def _bits_from_dibits(d: jnp.ndarray) -> jnp.ndarray:
