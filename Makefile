@@ -23,5 +23,8 @@ bench:
 smoke:
 	$(PYTHON) tools/tpu_smoke.py
 
+warm-cache:
+	$(PYTHON) tools/warm_cli_cache.py
+
 clean:
 	rm -rf $(WHEELDIR) build *.egg-info
