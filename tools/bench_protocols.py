@@ -73,6 +73,23 @@ def bench_pipe(name, pipe, channels, reps, unroll, jax, jnp):
     wall = time.perf_counter() - t0
     assert len(set(checks)) > 1 or reps == 1, "stale-result cache suspected"
     n_steps = reps * unroll
+
+    # serialized-dispatch floor at this unroll (trivial same-unroll
+    # program): every per-step number carries ~RTT/unroll of tunnel
+    @jax.jit
+    def floor_k(seed):
+        acc = jnp.float32(0)
+        base = jax.random.normal(jax.random.key(seed), (8, 256),
+                                 jnp.float32)
+        for k in range(unroll):
+            acc = acc + (base * (k + 1)).sum()
+        return acc
+    for w in range(2):
+        float(floor_k(seed_base + 700000 + w))
+    t0 = time.perf_counter()
+    for r in range(3):
+        float(floor_k(seed_base + 710000 + r))
+    floor_step = (time.perf_counter() - t0) / (3 * unroll)
     dt = wall / n_steps
     msps = channels * samples_per_step / dt / 1e6
     print(json.dumps({
@@ -87,6 +104,7 @@ def bench_pipe(name, pipe, channels, reps, unroll, jax, jnp):
         "per_step_seconds": round(dt, 6),
         "sustained_wall_seconds": round(wall, 4),
         "serial_call_seconds": [round(t, 5) for t in serial],
+        "dispatch_floor_per_step": round(floor_step, 6),
     }), flush=True)
 
 
@@ -102,22 +120,24 @@ def main(channels=256, reps=8):
     from digiham_tpu.pipeline import (DmrPipeline, FskPipeline,
                                       NxdnPipeline, YsfPipeline)
 
-    unroll = int(os.environ.get("BENCH_UNROLL", "16"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "64"))
     print(json.dumps({"backend": jax.devices()[0].platform}), flush=True)
+    # 4x the round-1 block sizes: with the serialized-dispatch floor
+    # (~RTT/unroll per step) bigger blocks keep the floor share small
     bench_pipe("dmr", DmrPipeline(channels=channels, sps=10,
-                                  n_centuries=8), channels, reps, unroll,
+                                  n_centuries=32), channels, reps, unroll,
                jax, jnp)
     bench_pipe("ysf", YsfPipeline(channels=channels, sps=10,
-                                  n_centuries=10), channels, reps, unroll,
+                                  n_centuries=40), channels, reps, unroll,
                jax, jnp)
     bench_pipe("nxdn", NxdnPipeline(channels=channels, sps=20,
-                                    n_centuries=4), channels, reps, unroll,
+                                    n_centuries=16), channels, reps, unroll,
                jax, jnp)
     bench_pipe("dstar", FskPipeline(channels=channels, protocol="dstar",
-                                    n_centuries=8), channels, reps, unroll,
+                                    n_centuries=32), channels, reps, unroll,
                jax, jnp)
     bench_pipe("pocsag", FskPipeline(channels=channels, protocol="pocsag",
-                                     n_centuries=2), channels, reps, unroll,
+                                     n_centuries=8), channels, reps, unroll,
                jax, jnp)
 
 
