@@ -35,14 +35,60 @@ Prints ONE JSON line.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
+# (unroll, centuries, subprocess timeout s): the ladder exists because
+# the remote compiler has failed on very large unrolled programs
+# (observed: 128 x 16-century pipeline steps > 60 min; one tile=64
+# kernel config crashed the compile helper outright). Each attempt runs
+# in a subprocess with a hard timeout; the first success wins. Smaller
+# unrolls carry a larger serialized-dispatch floor (~RTT/unroll), so
+# the ladder is ordered most-honest-first. A completed server-side
+# compile is cached, so a retry after a timeout often starts warm.
+ATTEMPTS = [(128, 16, 2400), (64, 32, 1500), (32, 16, 1200)]
+
+
+def orchestrate() -> int:
+    import subprocess
+    for unroll, cent, limit in ATTEMPTS:
+        env = dict(os.environ,
+                   BENCH_ATTEMPT="1",
+                   BENCH_UNROLL=os.environ.get("BENCH_UNROLL",
+                                               str(unroll)),
+                   BENCH_CENTURIES=os.environ.get("BENCH_CENTURIES",
+                                                  str(cent)))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=limit, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt unroll={env['BENCH_UNROLL']} "
+                  f"centuries={env['BENCH_CENTURIES']} timed out after "
+                  f"{limit}s; falling back", file=sys.stderr)
+            continue
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"# bench attempt unroll={env['BENCH_UNROLL']} failed "
+              f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",
+              file=sys.stderr)
+        if os.environ.get("BENCH_UNROLL"):
+            break  # explicit config: don't silently change it
+    return 1
+
+
 def main():
     import jax
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # config update, not env: the TPU plugin overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -208,4 +254,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_ATTEMPT"):
+        main()
+    else:
+        sys.exit(orchestrate())
