@@ -49,6 +49,21 @@ def test_gfsk_matches_xla(channels, noise):
     _assert_state_match(st_p, st_x)
 
 
+def test_gfsk_matches_xla_large_block():
+    """The bench ladder runs up to 32 centuries per step; cover a large
+    block so the batched post-loop AGC's segmented scans and the
+    contiguous dibit output stay exact at scale."""
+    rng = np.random.default_rng(321)
+    channels, n_cent, sps = 8, 32, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, 0.1))
+    st = demod_init(channels)
+    want, st_x = gfsk_demod_block(sig, st, n_cent, sps)
+    got, st_p = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_p, st_x)
+
+
 def test_gfsk_streaming_carry():
     """Multi-block stream: the (pos, offset, ring) carry chains exactly,
     with stream-driver-style pos rebasing between blocks."""
