@@ -54,7 +54,12 @@ ATTEMPTS = [(128, 16, 2400), (64, 32, 1500), (32, 16, 1200)]
 
 def orchestrate() -> int:
     import subprocess
-    for unroll, cent, limit in ATTEMPTS:
+    # an explicitly pinned workload (either knob) gets exactly one
+    # attempt — never silently change what the user asked to measure
+    pinned = bool(os.environ.get("BENCH_UNROLL")
+                  or os.environ.get("BENCH_CENTURIES"))
+    attempts = ATTEMPTS[:1] if pinned else ATTEMPTS
+    for unroll, cent, limit in attempts:
         env = dict(os.environ,
                    BENCH_ATTEMPT="1",
                    BENCH_UNROLL=os.environ.get("BENCH_UNROLL",
@@ -78,8 +83,6 @@ def orchestrate() -> int:
         print(f"# bench attempt unroll={env['BENCH_UNROLL']} failed "
               f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",
               file=sys.stderr)
-        if os.environ.get("BENCH_UNROLL"):
-            break  # explicit config: don't silently change it
     return 1
 
 
@@ -155,6 +158,9 @@ def main():
         base = (jax.random.normal(kr, (channels, LB), jnp.float32)
                 + 1j * jax.random.normal(ki, (channels, LB), jnp.float32)
                 ).astype(jnp.complex64)
+        # force ONE materialization: without the barrier XLA may fuse the
+        # threefry generation into every consumer step (see bench_fir.py)
+        base = jax.lax.optimization_barrier(base)
         for k in range(unroll):
             iq = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
                                       axis=1)

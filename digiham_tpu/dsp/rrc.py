@@ -153,12 +153,18 @@ def _tpu_impl(channels: int) -> str | None:
     shifted-accumulate kernel and ~6.5 ms for the XLA conv (round 2,
     dispatch-floor-subtracted A/B in tools/bench_fir.py) — the FIR is
     0.33 GMAC of dense linear algebra and belongs on the systolic
-    array, not the VPU. DIGIHAM_RRC_PALLAS=1 forces the Pallas kernel
-    (channels % 8 == 0 only); DIGIHAM_RRC_MATMUL=0 disables the matmul
-    path. Off-TPU returns None (XLA conv)."""
+    array, not the VPU. Overrides: DIGIHAM_RRC_PALLAS=1 forces the
+    Pallas kernel (channels % 8 == 0 only); DIGIHAM_RRC_PALLAS=0 forces
+    the XLA conv (the long-documented knob for reproducing the XLA
+    numeric envelope — it disables BOTH fast paths);
+    DIGIHAM_RRC_MATMUL=0 disables just the matmul. Off-TPU returns None
+    (XLA conv)."""
     from ..utils import env_flag
 
-    if env_flag("DIGIHAM_RRC_PALLAS") and channels % 8 == 0:
+    pallas_env = env_flag("DIGIHAM_RRC_PALLAS")
+    if pallas_env is False:
+        return None
+    if pallas_env and channels % 8 == 0:
         return "pallas"
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -170,11 +176,11 @@ def _tpu_impl(channels: int) -> str | None:
 
 
 @functools.lru_cache(maxsize=None)
-def _banded_matrix(taps_key: str, ntaps: int, win: int) -> np.ndarray:
+def _banded_matrix(taps_bytes: bytes, ntaps: int, win: int) -> np.ndarray:
     """[win, 128] f32 banded matrix B[k, n] = taps[k - n] (0 <= k-n <
-    ntaps), so one 128-wide output block is window @ B."""
-    design = {"wide": WIDE_RRC, "narrow": NARROW_RRC}[taps_key]
-    taps = design.scaled_taps
+    ntaps), so one 128-wide output block is window @ B. Keyed on the
+    actual tap values so custom RrcDesign instances work."""
+    taps = np.frombuffer(taps_bytes, dtype=np.float32)
     B = np.zeros((win, 128), np.float32)
     for n in range(128):
         B[n:n + ntaps, n] = taps
@@ -212,7 +218,8 @@ def _rrc_filter_block_matmul(samples: jnp.ndarray, state: RrcState,
         for s in range(win // 128)
     ]
     windows = jnp.concatenate(views, axis=-1)  # [C, nb, win]
-    B = jnp.asarray(_banded_matrix(design.name, ntaps, win))
+    B = jnp.asarray(_banded_matrix(design.scaled_taps.tobytes(), ntaps,
+                                   win))
     y = jax.lax.dot_general(
         windows, B, (((2,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -246,12 +253,17 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
     x = jnp.concatenate([state.history, samples], axis=-1)
     # correlate: y[t] = sum_j taps[j] * x_full[t + j]; newest sample gets
     # taps[ntaps-1], matching delay[nZeros]=newest (rrc_filter.cpp:26-31).
+    # XLA's conv_general_dilated IS cross-correlation (no kernel flip),
+    # so the taps pass through unreversed. (An earlier ::-1 flip here
+    # computed the reversed-tap correlation — invisible for the stock
+    # designs, whose taps are exact palindromes, but wrong for any
+    # asymmetric RrcDesign; caught by test_matmul_fir_custom_design.)
     # precision HIGHEST: keep full f32 accumulate — the default TPU conv
     # path rounds operands to bf16, which costs ~0.2% error (enough to
     # perturb slicer decisions near threshold).
     y = jax.lax.conv_general_dilated(
         x[:, None, :],
-        taps[None, None, ::-1],
+        taps[None, None, :],
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),

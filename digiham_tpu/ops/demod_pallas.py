@@ -82,9 +82,18 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
     16 centuries; wider selection matmuls use more MXU rows and fewer
     grid steps amortize fixed work)."""
     import os
+    import sys
     env = os.environ.get("DIGIHAM_DEMOD_TILE")
-    if env and C % int(env) == 0:
-        return int(env)
+    if env:
+        try:
+            t = int(env)
+        except ValueError:
+            t = 0
+        if t > 0 and C % t == 0:
+            return t
+        print(f"digiham_tpu: ignoring DIGIHAM_DEMOD_TILE={env!r} "
+              f"(need a positive divisor of channels={C})",
+              file=sys.stderr)
     span = CENTURY * sps + 1
     n = CENTURY * sps
     load = -(-(span + _shift_bound(n_centuries)) // 128) * 128

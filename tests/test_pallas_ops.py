@@ -63,6 +63,24 @@ def test_matmul_fir_matches_conv(design, T):
                                   np.asarray(st_c.history))
 
 
+def test_matmul_fir_custom_design():
+    """The banded matrix must key on the actual taps, not the design
+    name — a custom RrcDesign (even one reusing a stock name) gets its
+    own matrix."""
+    from digiham_tpu.dsp.rrc import RrcDesign, _rrc_filter_block_matmul
+
+    rng = np.random.default_rng(9)
+    custom = RrcDesign("wide", 1.0, tuple(
+        rng.normal(0, 0.3, 31).astype(np.float64)))
+    C, T = 4, 400
+    x = jnp.asarray(rng.normal(0, 10, (C, T)).astype(np.float32))
+    hist = jnp.zeros((C, custom.ntaps - 1), jnp.float32)
+    y_m, _ = _rrc_filter_block_matmul(x, RrcState(hist), custom)
+    y_c, _ = rrc_filter_block(x, RrcState(hist), custom, impl="xla")
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_c),
+                               atol=1e-4)
+
+
 @pytest.mark.parametrize("layout", ["cmajor", "tmajor"])
 def test_non_multiple_block(layout):
     """T not a multiple of the tile size exercises the padding path."""

@@ -48,6 +48,7 @@ def main():
                                      (channels,
                                       L + stride * (unroll - 1)),
                                      jnp.float32) * 500
+            base = jax.lax.optimization_barrier(base)  # one materialization
             for k in range(unroll):
                 x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
                                          axis=1)

@@ -56,9 +56,9 @@ def main():
     def pipe_step(x, state):
         out, st = pipe.step(x, state)
         st.demod.pos = jnp.zeros_like(st.demod.pos)
-        acc = (out["dibits"].astype(jnp.int32).sum()
-               + out["sync_dist_dense"].sum()
-               + out["voice_payload"].astype(jnp.int32).sum())
+        # consume EVERY output tensor so no field decode is dead code
+        acc = sum(jnp.sum(v).astype(jnp.int32)
+                  for v in jax.tree.leaves(out))
         return acc, st
 
     def consume(state):
@@ -70,6 +70,7 @@ def main():
         def run(seed, state0):
             base = jax.random.normal(jax.random.key(seed),
                                      (channels, LB), jnp.float32) * 300
+            base = jax.lax.optimization_barrier(base)  # one materialization
 
             if mode == "unroll":
                 acc = jnp.float32(0)

@@ -46,6 +46,7 @@ def _worker(rank, reps, unroll, centuries, q):
         base = jax.random.normal(
             jax.random.key(seed),
             (channels, L + stride * (unroll - 1)), jnp.float32) * 100
+        base = jax.lax.optimization_barrier(base)  # one materialization
         for k in range(unroll):
             x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
                                      axis=1)
@@ -92,7 +93,6 @@ def main(n_procs=2):
     walls = [r[2] for r in results]
     samples = sum(r[3] for r in results)
     agg = samples / max(walls)
-    per = [r[3] / n_procs / r[2] for r in results]
     print(json.dumps({
         "metric": "dmr_pipeline_multistream",
         "n_procs": n_procs,

@@ -45,6 +45,7 @@ def bench_pipe(name, pipe, channels, reps, unroll, jax, jnp):
         base = jax.random.normal(jax.random.key(seed),
                                  (channels, L + stride * (unroll - 1)),
                                  jnp.float32) * 100.0
+        base = jax.lax.optimization_barrier(base)  # one materialization
         for k in range(unroll):
             block = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
                                          axis=1)

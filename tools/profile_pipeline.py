@@ -101,6 +101,7 @@ def main():
                     + 1j * jax.random.normal(ki, (channels, LB),
                                              jnp.float32)
                     ).astype(jnp.complex64)
+            base = jax.lax.optimization_barrier(base)  # one materialization
             for k in range(unroll):
                 iq = jax.lax.slice_in_dim(base, k * stride,
                                           k * stride + L, axis=1)

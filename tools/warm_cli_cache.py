@@ -3,18 +3,19 @@
 The CLI tools default to the numpy oracle backend (millisecond startup,
 reference-exact); `DIGIHAM_CLI_BACKEND=jax` opts into the device path,
 whose first run pays the jit compile. Running this once per machine (or
-in an image build / postinstall step) compiles every standard CLI
-configuration into the persistent compilation cache
-(JAX_COMPILATION_CACHE_DIR, default /tmp/jax_cache — set it to a
-durable path for provisioning), so the jax CLI backend starts warm.
+in an image build / postinstall step) drives the ACTUAL CLI classes —
+same argparse surface, same stdin chunk sizes as the real read loop —
+so the compiled shapes in the persistent cache (JAX_COMPILATION_CACHE_DIR,
+default /tmp/jax_cache; set a durable path when provisioning) are
+exactly the ones the tools execute.
 
 Configurations covered (the examples/*.sh pipelines):
-  rrc_filter wide + narrow, 1 channel
+  rrc_filter (wide) and rrc_filter -n (narrow)
   gfsk_demodulator -s 10 (DMR/YSF) and -s 20 (NXDN48)
   fsk_demodulator  -s 10 (D-Star) and -s 40 -i (POCSAG)
   digitalvoice_filter
 
-Usage: python tools/warm_cli_cache.py  [--cache DIR]
+Usage: python tools/warm_cli_cache.py [--cache DIR] [--platform cpu]
 """
 import argparse
 import os
@@ -41,40 +42,37 @@ def main():
         # config update required: the axon plugin overrides the
         # JAX_PLATFORMS env var (CLAUDE.md)
         jax.config.update("jax_platforms", args.platform)
-    from digiham_tpu.cli.base import enable_compilation_cache
-    enable_compilation_cache()
 
     import numpy as np
-    import jax.numpy as jnp
-    from digiham_tpu.dsp.rrc import (NARROW_RRC, WIDE_RRC, RrcState,
-                                     rrc_filter_block)
-    from digiham_tpu.dsp.demod import (demod_init, fsk_demod_block,
-                                       gfsk_demod_block)
-    from digiham_tpu.dsp.audio import DigitalVoiceState, digitalvoice_filter
+    from digiham_tpu.cli.base import BUF_SIZE
+    from digiham_tpu.cli.tools import (DigitalVoiceFilterCli,
+                                       FskDemodulatorCli,
+                                       GfskDemodulatorCli, RrcFilterCli)
 
+    configs = [
+        (RrcFilterCli, []),
+        (RrcFilterCli, ["--narrow"]),
+        (GfskDemodulatorCli, ["-s", "10"]),
+        (GfskDemodulatorCli, ["-s", "20"]),
+        (FskDemodulatorCli, ["-s", "10"]),
+        (FskDemodulatorCli, ["-s", "40", "--invert"]),
+        (DigitalVoiceFilterCli, []),
+    ]
     t0 = time.time()
-    block = jnp.zeros((1, 4096), jnp.float32)
-    for design in (WIDE_RRC, NARROW_RRC):
-        y, _ = rrc_filter_block(block, RrcState.init(1, design), design)
-        np.asarray(y)
-        print(f"rrc {design.name}: warm ({time.time() - t0:.1f}s)",
-              flush=True)
-    for sps in (10, 20):
-        x = jnp.zeros((1, 100 * sps + 9), jnp.float32)
-        d, _ = gfsk_demod_block(x, demod_init(1), 1, sps)
-        np.asarray(d)
-        print(f"gfsk sps={sps}: warm ({time.time() - t0:.1f}s)",
-              flush=True)
-    for sps, invert in ((10, False), (40, True)):
-        x = jnp.zeros((1, 100 * sps + 9), jnp.float32)
-        d, _ = fsk_demod_block(x, demod_init(1), 1, sps, invert)
-        np.asarray(d)
-        print(f"fsk sps={sps} invert={invert}: warm "
+    for cls, argv in configs:
+        tool = cls()
+        parser = argparse.ArgumentParser(prog=tool.name)
+        tool.add_arguments(parser)
+        ns = parser.parse_args(argv + ["--backend", "jax"])
+        tool.setup(ns)
+        # the real read loop delivers BUF_SIZE bytes per chunk; push two
+        # chunks so block-boundary code paths compile too
+        chunk = BUF_SIZE // np.dtype(tool.in_dtype).itemsize
+        data = np.zeros(chunk, tool.in_dtype)
+        tool.process(data)
+        tool.process(data)
+        print(f"{tool.name} {' '.join(argv) or '(default)'}: warm "
               f"({time.time() - t0:.1f}s)", flush=True)
-    pcm = jnp.zeros((1, 1024), jnp.float32)
-    y, _ = digitalvoice_filter(pcm, DigitalVoiceState.init(1))
-    np.asarray(y)
-    print(f"digitalvoice: warm ({time.time() - t0:.1f}s)", flush=True)
     print(f"cache at {args.cache} ready in {time.time() - t0:.1f}s")
 
 
