@@ -57,7 +57,12 @@ class DmrAdapter:
     def decode_fields(self, frames: np.ndarray, jnp):
         from ..pipeline.dmr import dmr_decode_frames
         fields = dmr_decode_frames(jnp.asarray(frames))
-        return {k: np.asarray(v) for k, v in fields.items()}
+        host = {k: np.asarray(v) for k, v in fields.items()}
+        # batch the per-row packbits (measurably cheaper than packing
+        # inside field_row: tools/bench_host_tracking.py)
+        host["lc_packed"] = np.packbits(
+            host["bptc_data"].astype(np.uint8), axis=-1)
+        return host
 
     def field_row(self, host: dict, row: int):
         from ..protocols.dmr.fields_phase import FrameFields
@@ -72,8 +77,7 @@ class DmrAdapter:
             slot_type_ok=bool(host["slot_type_ok"][row]),
             data_type=int(host["data_type"][row]),
             bptc_ok=bool(host["bptc_ok"][row]),
-            lc_bytes=np.packbits(
-                host["bptc_data"][row].astype(np.uint8)).tobytes(),
+            lc_bytes=host["lc_packed"][row].tobytes(),
         )
 
 
