@@ -1,39 +1,111 @@
-"""Host control-plane cost in steady state: us per (channel, frame).
+"""Host control-plane capacity: real-time channels per core, per protocol.
 
-Measures the two per-frame host costs of the tracked-bank decode round
-on synthesized frame-locked DMR voice traffic:
-  field_row       — device-field unpacking into FrameFields
-  process_fields  — the FieldsFramePhase hysteresis/dispatch machine
-and reports the implied real-time channel capacity per host core
-(DMR: 33.3 frames/s/channel). Acquisition (sync hunting on noise) is
-excluded by design — production banks gate hunting on the device's
-dense sync correlation (tracked_bank._fast_skip), so steady-state
-tracking is the per-channel recurring cost.
+Drives the PRODUCTION TrackedChannelBank push loop (hunt + decode
+rounds + trackers + metadata) single-channel over structured synthetic
+traffic (the oracle-fuzz generators — transmissions separated by noise
+gaps, so acquisition hunting is included) and reports host-side wall time
+with the device ``decode_fields`` calls timed and subtracted — i.e. the
+per-core cost of the host control plane when the field decode runs on
+the TPU. Also reports the isolated steady-state per-frame tracking cost
+(field_row + process_fields) for DMR.
 
-Usage: JAX_PLATFORMS=cpu python tools/bench_host_tracking.py
-Prints one JSON line.
+Usage: python tools/bench_host_tracking.py   (pins jax to CPU)
+Prints one JSON line per protocol + one DMR detail line.
 """
 import json
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-def main():
+
+def _streams():
+    """(name, bits/dibits stream, symbol_rate) triples, ~clean traffic."""
+    sys.path.insert(0, "tools")
+    import fuzz_tracked as ft  # pins jax to CPU at import
+
+    rng = np.random.default_rng(12345)
+    out = []
+    for name in ("dmr", "ysf", "nxdn"):
+        parts = [ft.synth_dibit(name, rng) for _ in range(6)]
+        rate = 2400 if name == "nxdn" else 4800
+        out.append((name, np.concatenate(parts), rate))
+    out.append(("dstar",
+                np.concatenate([ft.synth_dstar(rng) for _ in range(6)]),
+                4800))
+    out.append(("pocsag",
+                np.concatenate([ft.synth_pocsag(rng) for _ in range(6)]),
+                1200))
+    return out
+
+
+def bench_bank(name, stream, rate):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    import numpy as np
+    import jax.numpy  # noqa: F401
+    from digiham_tpu.pipeline import (DmrPipeline, FskPipeline,
+                                      NxdnPipeline, YsfPipeline)
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
 
+    if name == "dmr":
+        pipe = DmrPipeline(channels=1, sps=10, n_centuries=2)
+    elif name == "ysf":
+        pipe = YsfPipeline(channels=1, sps=10, n_centuries=5)
+    elif name == "nxdn":
+        pipe = NxdnPipeline(channels=1, sps=20, n_centuries=2)
+    else:
+        pipe = FskPipeline(channels=1, protocol=name, n_centuries=2)
+    bank = TrackedChannelBank(pipe, on_output=lambda c, d: None)
+    dev = [0.0]
+    orig = bank.adapter.decode_fields
+
+    def timed(frames, jnp_):
+        t0 = time.perf_counter()
+        r = orig(frames, jnp_)
+        dev[0] += time.perf_counter() - t0
+        return r
+
+    bank.adapter.decode_fields = timed
+    chunk = 800
+    # warm: first quarter absorbs the jit compiles, then reset clocks
+    warm_end = len(stream) // 4
+    for lo in range(0, warm_end, chunk):
+        bank.push_dibits(stream[None, lo:lo + chunk])
+    dev[0] = 0.0
+    t0 = time.perf_counter()
+    for lo in range(warm_end, len(stream) - chunk, chunk):
+        bank.push_dibits(stream[None, lo:lo + chunk])
+    wall = time.perf_counter() - t0
+    host = wall - dev[0]
+    n_sym = (len(stream) - chunk - warm_end) // chunk * chunk
+    air_seconds = n_sym / rate
+    return {
+        "metric": f"{name}_host_control_plane",
+        # dibit-path banks get no device sync gating, so this includes
+        # full host hunting over the streams' noise gaps — the
+        # worst-case host cost; production sample-path banks gate
+        # hunting on the device correlation (_fast_skip)
+        "includes_acquisition_no_device_gating": True,
+        "host_seconds_per_air_second": round(host / air_seconds, 6),
+        "realtime_channels_per_core": round(air_seconds / host),
+        "device_decode_seconds_subtracted": round(dev[0], 4),
+        "symbols": int(n_sym),
+    }
+
+
+def dmr_steady_state_detail():
+    """Isolated steady-state per-frame cost on frame-locked voice."""
+    import jax.numpy as jnp
     from dmr_synth import data_frame, group_lc, voice_frame  # tests/
     from digiham_tpu.protocols.dmr.components import DATA_TYPE_VOICE_LC
     from digiham_tpu.protocols.dmr.phases import SyncPhase
     from digiham_tpu.runtime.tracked_bank import DmrAdapter
 
-    # synthesize a frame-locked voice transmission (same generator the
-    # oracle fuzz uses)
     lc = group_lc(2300042, 2623317)
     payload = np.tile([1, 3, 0, 2], 27)
     frames = []
@@ -52,35 +124,39 @@ def main():
         off += c
     FS = 144
     n = (len(stream) - off) // FS
-    aligned = stream[off:off + n * FS].reshape(n, FS)
-    aligned = np.tile(aligned, (20, 1))
+    aligned = np.tile(stream[off:off + n * FS].reshape(n, FS), (20, 1))
     n = aligned.shape[0]
 
     ad = DmrAdapter()
     host = ad.decode_fields(aligned, jnp)
     rows = [ad.field_row(host, r) for r in range(n)]
-
     t0 = time.perf_counter()
     for r in range(n):
         ad.field_row(host, r)
     dt_fr = (time.perf_counter() - t0) / n
-
     tr = ad.make_tracker(ad.make_meta(), 3, nxt)
     t0 = time.perf_counter()
     for f in rows:
         tr.process_fields(f)
     dt_pf = (time.perf_counter() - t0) / n
-
     per_frame_us = (dt_fr + dt_pf) * 1e6
-    fps = 48000 / (FS * 10)  # 33.3 DMR frames/s/channel
-    print(json.dumps({
-        "metric": "dmr_host_tracking_cost",
+    fps = 48000 / (FS * 10)
+    return {
+        "metric": "dmr_host_tracking_steady_state",
         "field_row_us_per_frame": round(dt_fr * 1e6, 2),
         "process_fields_us_per_frame": round(dt_pf * 1e6, 2),
         "total_us_per_frame": round(per_frame_us, 2),
         "realtime_channels_per_core": round(1e6 / (per_frame_us * fps)),
         "frames_measured": n,
-    }))
+    }
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(dmr_steady_state_detail()), flush=True)
+    for name, stream, rate in _streams():
+        print(json.dumps(bench_bank(name, stream, rate)), flush=True)
 
 
 if __name__ == "__main__":
