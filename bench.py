@@ -59,6 +59,9 @@ def orchestrate() -> int:
     pinned = bool(os.environ.get("BENCH_UNROLL")
                   or os.environ.get("BENCH_CENTURIES"))
     attempts = ATTEMPTS[:1] if pinned else ATTEMPTS
+    if os.environ.get("BENCH_LADDER"):  # testing: "u,c,t;u,c,t;..."
+        attempts = [tuple(int(v) for v in a.split(","))
+                    for a in os.environ["BENCH_LADDER"].split(";")]
     for unroll, cent, limit in attempts:
         env = dict(os.environ,
                    BENCH_ATTEMPT="1",
