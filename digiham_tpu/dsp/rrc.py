@@ -237,8 +237,11 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
     :func:`_rrc_filter_block_matmul`); all paths are within ~1 ulp of
     each other (sequential / HIGHEST-precision conv / bf16x3 matmul
     accumulation — the documented f32 envelope).
-    impl: "auto" or "xla" — "xla" forces the conv (the GSPMD-safe
-    reference path used by mesh banks and the CPU goldens).
+    impl: "auto" (TPU fast paths), "gspmd" (best GSPMD-partitionable
+    path — the banded matmul on TPU, conv elsewhere; used by mesh banks,
+    whose jit+NamedSharding partitioning cannot shard Mosaic custom
+    calls but shards the matmul fine), or "xla" (force the conv — the
+    envelope-reproduction path used by the CPU goldens).
     """
     if impl == "auto":
         fast = _tpu_impl(samples.shape[0])
@@ -249,6 +252,15 @@ def rrc_filter_block(samples: jnp.ndarray, state: RrcState,
             y, hist = rrc_filter_block_pallas(
                 samples, state.history, design.scaled_taps)
             return y, RrcState(hist)
+    elif impl == "gspmd":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        from ..utils import env_flag
+        if (on_tpu and env_flag("DIGIHAM_RRC_MATMUL") is not False
+                and env_flag("DIGIHAM_RRC_PALLAS") is not False):
+            return _rrc_filter_block_matmul(samples, state, design)
     taps = jnp.asarray(design.scaled_taps)
     x = jnp.concatenate([state.history, samples], axis=-1)
     # correlate: y[t] = sum_j taps[j] * x_full[t + j]; newest sample gets

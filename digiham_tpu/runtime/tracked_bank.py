@@ -321,10 +321,12 @@ class TrackedChannelBank:
         self._shard = None
         # The mesh bank shards via jit + NamedSharding (GSPMD), which
         # cannot auto-partition Mosaic (Pallas) custom calls — pass
-        # impl="xla" per step call (a static jit argument, so it gets
-        # its own trace; no attribute-mutation/stale-cache hazards).
+        # impl="gspmd" per step call (a static jit argument, so it gets
+        # its own trace; no attribute-mutation/stale-cache hazards):
+        # the demod takes the XLA scan, the RRC takes the banded-matmul
+        # MXU path on TPU (plain XLA dots — GSPMD shards them fine).
         # The shard_map paths in parallel/ keep the Pallas kernels.
-        self._step_kwargs = {} if mesh is None else {"impl": "xla"}
+        self._step_kwargs = {} if mesh is None else {"impl": "gspmd"}
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
