@@ -52,8 +52,48 @@ import numpy as np
 ATTEMPTS = [(128, 16, 2400), (64, 32, 1500), (32, 16, 1200)]
 
 
+def _fail_json(kind: str, detail: str) -> None:
+    """One parseable JSON line on stdout so an unattended driver run
+    never expires with nothing (round 2 lost its whole capture window
+    to a tunnel outage that hung backend init for hours)."""
+    print(json.dumps({
+        "metric": "dmr_iq_pipeline_throughput",
+        "value": None,
+        "unit": "Msamples/s/chip",
+        "backend": kind,
+        "error": detail[-400:],
+    }))
+
+
+def probe() -> None:
+    """Subprocess body: prove the backend can init + execute + fetch."""
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+    v = int(jnp.arange(8).sum())  # fetch to host: RTT + exec proven
+    print(f"probe ok backend={jax.devices()[0].platform} v={v}")
+
+
 def orchestrate() -> int:
     import subprocess
+    # backend-availability precheck: a hung tunnel must cost ~90 s and
+    # produce structured output, not eat the driver's whole window
+    if not os.environ.get("BENCH_SKIP_PROBE"):
+        limit = float(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_PROBE="1"),
+                timeout=limit, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            _fail_json("unavailable",
+                       f"backend init/execute hung > {limit:.0f}s")
+            return 2
+        if r.returncode != 0:
+            _fail_json("unavailable", r.stderr.strip() or "probe failed")
+            return 2
+        print(f"# {r.stdout.strip()}", file=sys.stderr)
     # an explicitly pinned workload (either knob) gets exactly one
     # attempt — never silently change what the user asked to measure
     pinned = bool(os.environ.get("BENCH_UNROLL")
@@ -86,6 +126,7 @@ def orchestrate() -> int:
         print(f"# bench attempt unroll={env['BENCH_UNROLL']} failed "
               f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",
               file=sys.stderr)
+    _fail_json("attempts_exhausted", "every ladder attempt failed/timed out")
     return 1
 
 
@@ -263,7 +304,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_ATTEMPT"):
+    if os.environ.get("BENCH_PROBE"):
+        probe()
+    elif os.environ.get("BENCH_ATTEMPT"):
         main()
     else:
         sys.exit(orchestrate())

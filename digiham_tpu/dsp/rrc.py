@@ -164,8 +164,13 @@ def _tpu_impl(channels: int) -> str | None:
     pallas_env = env_flag("DIGIHAM_RRC_PALLAS")
     if pallas_env is False:
         return None
-    if pallas_env and channels % 8 == 0:
-        return "pallas"
+    if pallas_env:
+        if channels % 8 == 0:
+            return "pallas"
+        import sys
+        print(f"digiham_tpu: ignoring DIGIHAM_RRC_PALLAS=1 "
+              f"(Pallas FIR needs channels % 8 == 0, got {channels}); "
+              f"falling back to the matmul/conv path", file=sys.stderr)
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:

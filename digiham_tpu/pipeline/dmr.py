@@ -227,13 +227,13 @@ class DmrPipeline:
         [C, S-23, 4], and frame fields decoded at every 144-aligned offset
         ([C, S//144, ...]).
 
-        impl: None (use self.demod_impl, default "auto") or "xla" —
+        impl: None (default "auto") or "xla" —
         "xla" forces the XLA RRC conv + demod scan; pass it per call
         when stepping under GSPMD auto-partitioning (mesh banks), which
         cannot shard Mosaic custom calls. Being a static argument, each
         impl gets its own jit trace — no attribute-mutation hazards.
         """
-        impl = impl or getattr(self, "demod_impl", None) or "auto"
+        impl = impl or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
                 samples, state.rrc, WIDE_RRC, impl=impl)

@@ -80,7 +80,7 @@ class FskPipeline:
                        static_argnames=("impl",))
     def step(self, samples: jnp.ndarray, state: FskPipelineState,
              impl: str | None = None):
-        impl = impl or getattr(self, "demod_impl", None) or "auto"
+        impl = impl or "auto"
         x = samples
         rrc_state = state.rrc
         if self.rrc is not None:

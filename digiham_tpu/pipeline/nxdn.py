@@ -87,7 +87,7 @@ class NxdnPipeline:
                        static_argnames=("impl",))
     def step(self, samples: jnp.ndarray, state: NxdnPipelineState,
              impl: str | None = None):
-        impl = impl or getattr(self, "demod_impl", None) or "auto"
+        impl = impl or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
                 samples, state.rrc, NARROW_RRC, impl=impl)

@@ -135,7 +135,7 @@ class YsfPipeline:
                        static_argnames=("impl",))
     def step(self, samples: jnp.ndarray, state: YsfPipelineState,
              impl: str | None = None):
-        impl = impl or getattr(self, "demod_impl", None) or "auto"
+        impl = impl or "auto"
         if self.use_rrc:
             filtered, rrc_state = rrc_filter_block(
                 samples, state.rrc, WIDE_RRC, impl=impl)

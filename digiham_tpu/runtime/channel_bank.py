@@ -84,7 +84,8 @@ class ChannelBank:
         demod = self.state.demod
         demod.pos = demod.pos - jnp.int32(base)
         rrc = rrc_rebase_history(self.pipeline, self.state,
-                                 np.asarray(block), base)
+                                 np.asarray(block), base,
+                                 stream_start=self.buffer.consumed == 0)
         if rrc is not None:
             self.state.rrc = rrc
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import sys
 import time
 
@@ -61,7 +62,7 @@ class StageMeter:
 class MetricsRegistry:
     """Process-wide stage meters + periodic reporting."""
 
-    def __init__(self, report_every: float = 0.0, sink=None):
+    def __init__(self, report_every: float | None = None, sink=None):
         self.meters: dict[str, StageMeter] = {}
         self.report_every = report_every
         self.sink = sink or (lambda line: print(line, file=sys.stderr))
@@ -72,11 +73,29 @@ class MetricsRegistry:
             self.meters[name] = StageMeter(name, unit)
         return self.meters[name]
 
+    def _effective_every(self) -> float:
+        # Production wiring: DIGIHAM_METRICS_EVERY=<seconds> turns on
+        # periodic rate_per_s reports (one JSON line per stage on stderr)
+        # from every StreamDriver / TrackedChannelBank in the process —
+        # the SURVEY §5 first-class rate instrumentation, observable
+        # without code changes. Read lazily so setting the env var after
+        # import (tests, embedding apps) still takes effect; an explicit
+        # report_every on the registry wins over the env var.
+        if self.report_every is not None:
+            return self.report_every
+        env = os.environ.get("DIGIHAM_METRICS_EVERY")
+        if env:
+            try:
+                return float(env)
+            except ValueError:
+                pass
+        return 0.0
+
     def maybe_report(self) -> None:
-        if not self.report_every:
+        if not self._effective_every():
             return
         now = time.monotonic()
-        if now - self._last_report >= self.report_every:
+        if now - self._last_report >= self._effective_every():
             self._last_report = now
             self.report()
 
@@ -89,17 +108,6 @@ class MetricsRegistry:
 
 
 REGISTRY = MetricsRegistry()
-
-# Production wiring: DIGIHAM_METRICS_EVERY=<seconds> turns on periodic
-# rate_per_s reports (one JSON line per stage on stderr) from every
-# StreamDriver / TrackedChannelBank in the process — the SURVEY §5
-# first-class rate instrumentation, observable without code changes.
-_env_every = __import__("os").environ.get("DIGIHAM_METRICS_EVERY")
-if _env_every:
-    try:
-        REGISTRY.report_every = float(_env_every)
-    except ValueError:
-        pass
 
 
 @contextlib.contextmanager

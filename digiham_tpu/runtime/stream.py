@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def rrc_rebase_history(pipeline, state, block: np.ndarray, base: int):
+def rrc_rebase_history(pipeline, state, block: np.ndarray, base: int,
+                       stream_start: bool = True):
     """Return ``state.rrc`` realigned for a buffer rebase of ``base``.
 
     A pipeline ``step`` returns the RRC delay line as of the *end* of the
@@ -27,6 +28,14 @@ def rrc_rebase_history(pipeline, state, block: np.ndarray, base: int):
     inputs). The history is plain input data, so the host rewrites it
     from the pre-consume block view. Returns None when the pipeline runs
     no RRC stage (then the carried value is inert).
+
+    ``stream_start``: True iff ``block[:, 0]`` is the very first stream
+    sample (no samples were ever consumed before this block). Only then
+    may a short prefix (base < ntaps-1) be zero-padded — mid-stream, the
+    missing left context is real prior data this view no longer holds,
+    and padding would silently corrupt the filter. Current drivers rebase
+    by ~n_centuries*1000 >= ntaps-1, so the guard is unreachable; it
+    exists to fail loudly if a future caller consumes less.
     """
     from ..dsp.rrc import RrcState
 
@@ -42,6 +51,10 @@ def rrc_rebase_history(pipeline, state, block: np.ndarray, base: int):
     nt1 = rrc_state.history.shape[-1]
     hist = np.asarray(block[:, max(0, base - nt1):base], np.float32)
     if hist.shape[1] < nt1:  # stream younger than the delay line: zero-pad
+        if not stream_start:
+            raise ValueError(
+                f"mid-stream rebase of {base} < ntaps-1 = {nt1} samples: "
+                "the RRC left context is no longer in this block view")
         pad = np.zeros((hist.shape[0], nt1 - hist.shape[1]), np.float32)
         hist = np.concatenate([pad, hist], axis=1)
     return RrcState(jnp.asarray(hist))
@@ -62,6 +75,7 @@ class SampleBuffer:
         self.dtype = dtype
         self.data = np.zeros((channels, initial_cap), dtype)
         self.fill = 0  # same fill for all channels (lockstep ingest)
+        self.consumed = 0  # lifetime samples discarded (stream-start test)
 
     def push(self, samples: np.ndarray) -> None:
         """samples: [channels, n] appended at the write position."""
@@ -91,6 +105,7 @@ class SampleBuffer:
             return
         self.data[:, :self.fill - n] = self.data[:, n:self.fill]
         self.fill -= n
+        self.consumed += n
 
 
 class StreamDriver:

@@ -401,6 +401,10 @@ class TrackedChannelBank:
         self.samples = SampleBuffer(self.channels)
         if payload["samples"].shape[1]:
             self.samples.push(payload["samples"])
+        # a restored stream is conservatively mid-stream: the zero-pad
+        # branch of rrc_rebase_history must never fire on it (the real
+        # left context lives in the restored RRC state, not this buffer)
+        self.samples.consumed = 1
 
     # ------------------------------------------------------------------
     def push(self, samples: np.ndarray) -> None:
@@ -432,8 +436,9 @@ class TrackedChannelBank:
             base = int(new_pos.min())
             if base > 0:
                 from .stream import rrc_rebase_history
-                rrc = rrc_rebase_history(self.pipeline, self.state,
-                                         np.asarray(block), base)
+                rrc = rrc_rebase_history(
+                    self.pipeline, self.state, np.asarray(block), base,
+                    stream_start=self.samples.consumed == 0)
                 if rrc is not None:
                     self.state.rrc = rrc
                 self.samples.consume(base)

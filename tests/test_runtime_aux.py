@@ -131,6 +131,29 @@ class TestMetricsWiring:
         assert any('"rate_per_s"' in ln and "tracked_bank[1ch]" in ln
                    for ln in lines)
 
+    def test_metrics_every_env_read_lazily(self, monkeypatch):
+        # setting DIGIHAM_METRICS_EVERY *after* import must take effect
+        # (round-2 advisor: it used to be read once at module import)
+        from digiham_tpu.runtime.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        lines = []
+        reg.sink = lines.append
+        reg.meter("lazy_env_stage")
+        monkeypatch.delenv("DIGIHAM_METRICS_EVERY", raising=False)
+        reg.maybe_report()
+        assert not lines
+        monkeypatch.setenv("DIGIHAM_METRICS_EVERY", "1e-9")
+        reg._last_report = 0.0
+        reg.maybe_report()
+        assert any("lazy_env_stage" in ln for ln in lines)
+        # explicit report_every wins over the env var
+        lines.clear()
+        reg.report_every = 0.0
+        reg._last_report = 0.0
+        reg.maybe_report()
+        assert not lines
+
 
 class TestEnvFlag:
     def test_strict_parsing(self, monkeypatch):
