@@ -6,6 +6,8 @@ from .sharded import (
     sharded_fsk_step,
 )
 from .streaming import (
+    TimeShardedPipeline,
+    TimeShardedStream,
     TimeShardedDmrPipeline,
     TimeShardedDmrStream,
 )

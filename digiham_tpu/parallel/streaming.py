@@ -6,16 +6,22 @@ bit-exact for a continuous stream. This module is the streaming mode the
 SURVEY §5 long-context mapping calls for: the demodulator's O(1) carry
 (pos / pending slew / volume ring — fsk_demodulator.cpp:37,84-87) threads
 through the time shards over ICI, so a time-sharded stream decodes
-byte-identically to the single-device ``DmrPipeline.step`` chain.
+byte-identically to the single-device pipeline step chain — for ALL five
+protocols (the reference's O(1) stream state applies to every chain, and
+the carry semantics are protocol-independent: only sps, the RRC design,
+the sync patterns, and the frame decode differ).
 
 How the axes parallelize — and what provably cannot:
 
-- **RRC FIR** (81 MACs/sample — the bulk of per-sample FLOPs): fully
+- **RRC FIR** (81/161 MACs/sample — the bulk of per-sample FLOPs): fully
   time-parallel via overlap-save; each shard pulls its left raw halo from
   its neighbor with one ``ppermute`` (``taps-1`` + drift-budget samples).
+  NXDN exchanges the narrow design's 160-sample halo
+  (rrc_filter.cpp:39-84); the 2FSK protocols (D-Star, POCSAG) run no RRC
+  and exchange only the drift-budget halo.
 - **Sync correlation + frame-field FEC decode**: fully time-parallel on
-  the decoded dibit segments (a 23-dibit right halo covers windows that
-  straddle shard boundaries).
+  the decoded symbol segments (a ``sync_len-1`` symbol right halo covers
+  windows that straddle shard boundaries).
 - **The demod carry itself is a true sequential dependency**: symbol
   ``n``'s sample window position depends on every ±1 timing slew before
   it (the cumulative sum of data-dependent offsets), so no schedule can
@@ -32,31 +38,100 @@ How the axes parallelize — and what provably cannot:
   software pipelining across successive steps.
 
 Semantics contract (tested in tests/test_streaming_shards.py): for any
-number of time shards and any number of consecutive steps, ``dibits``,
-``sync_dist_dense`` (valid region) and every decoded frame field are
-byte-identical to the single-device ``DmrPipeline.step`` stream.
+number of time shards and any number of consecutive steps, the symbol
+stream, every dense sync-distance stream (valid region) and every decoded
+frame field are byte-identical to the single-device pipeline stream.
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..dsp.demod import CENTURY, DemodState, demod_init, gfsk_demod_block
-from ..dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
-from ..pipeline.dmr import dmr_decode_frames, dmr_sync_correlate
-from ..protocols.dmr.phases import FRAME_SIZE, SYNC_SIZE
+from ..dsp.demod import (CENTURY, DemodState, demod_init, fsk_demod_block,
+                         gfsk_demod_block)
+from ..dsp.rrc import RrcDesign, RrcState, WIDE_RRC, rrc_filter_block
 
 
-def _fields_structure():
-    """Output ranks of dmr_decode_frames for building out_specs."""
-    probe = jax.eval_shape(
-        dmr_decode_frames,
-        jax.ShapeDtypeStruct((1, 1, FRAME_SIZE), jnp.uint8))
-    return {k: v.ndim for k, v in probe.items()}
+@dataclasses.dataclass(frozen=True)
+class _SyncSpec:
+    """One dense sync-correlation output of a pipeline step."""
+    name: str               # output key (matches the single-device step)
+    fn: Callable            # symbols [C, T] -> distances [C, T-length+1, ...]
+    length: int             # correlation window in symbols
+
+
+@dataclasses.dataclass(frozen=True)
+class _ProtocolConfig:
+    kind: str                       # "gfsk" (dibits) | "fsk" (bits)
+    sps: int
+    design: RrcDesign | None        # None = no RRC stage possible
+    invert: bool
+    frame_size: int | None          # symbols per decoded frame (None = none)
+    decode_fn: Callable | None      # [C, F, frame_size] -> fields dict
+    syncs: tuple[_SyncSpec, ...]
+    cps_quantum: int                # centuries_per_shard alignment
+    default_cps: int
+
+
+def _protocol_config(protocol: str) -> _ProtocolConfig:
+    """Per-protocol pieces, mirroring each single-device ``*Pipeline.step``
+    (the byte-identity reference) — the same table sharded.py::_gfsk_config
+    encodes for bulk mode."""
+    if protocol == "dmr":
+        from ..pipeline.dmr import dmr_decode_frames, dmr_sync_correlate
+        from ..protocols.dmr.phases import FRAME_SIZE, SYNC_SIZE
+        return _ProtocolConfig(
+            "gfsk", 10, WIDE_RRC, False, FRAME_SIZE, dmr_decode_frames,
+            (_SyncSpec("sync_dist_dense", dmr_sync_correlate, SYNC_SIZE),),
+            cps_quantum=36, default_cps=36)
+    if protocol == "ysf":
+        from ..pipeline.ysf import ysf_decode_frames, ysf_sync_correlate
+        from ..protocols.ysf.phases import FRAME_SIZE, SYNC_SIZE
+        return _ProtocolConfig(
+            "gfsk", 10, WIDE_RRC, False, FRAME_SIZE, ysf_decode_frames,
+            (_SyncSpec("sync_dist_dense", ysf_sync_correlate, SYNC_SIZE),),
+            cps_quantum=24, default_cps=24)
+    if protocol == "nxdn":
+        from ..dsp.rrc import NARROW_RRC
+        from ..pipeline.nxdn import nxdn_sync_correlate
+        from ..protocols.nxdn.phases import SYNC_SIZE
+        # NxdnPipeline.step emits no frame fields (the tracked bank
+        # decodes SACCH/FACCH host-gated); match its output contract
+        return _ProtocolConfig(
+            "gfsk", 20, NARROW_RRC, False, None, None,
+            (_SyncSpec("sync_dist_dense", nxdn_sync_correlate, SYNC_SIZE),),
+            cps_quantum=1, default_cps=16)
+    if protocol == "dstar":
+        from ..pipeline.fsk import bit_sync_correlate
+        from ..protocols.dstar.phases import HEADER_SYNC, VOICE_SYNC
+        return _ProtocolConfig(
+            "fsk", 10, None, False, None, None,
+            (_SyncSpec("sync_dist_header_sync",
+                       functools.partial(bit_sync_correlate,
+                                         pattern=HEADER_SYNC),
+                       len(HEADER_SYNC)),
+             _SyncSpec("sync_dist_voice_sync",
+                       functools.partial(bit_sync_correlate,
+                                         pattern=VOICE_SYNC),
+                       len(VOICE_SYNC))),
+            cps_quantum=1, default_cps=16)
+    if protocol == "pocsag":
+        from ..pipeline.fsk import bit_sync_correlate
+        from ..protocols.pocsag import SYNC_PATTERN
+        return _ProtocolConfig(
+            "fsk", 40, None, True, None, None,
+            (_SyncSpec("sync_dist_preamble",
+                       functools.partial(bit_sync_correlate,
+                                         pattern=SYNC_PATTERN),
+                       len(SYNC_PATTERN)),),
+            cps_quantum=1, default_cps=8)
+    raise ValueError(f"unknown protocol {protocol!r}")
 
 
 def _ct_spec(ndim: int) -> P:
@@ -64,10 +139,10 @@ def _ct_spec(ndim: int) -> P:
     return P(*(("channel", "time") + (None,) * (ndim - 2)))
 
 
-class TimeShardedDmrPipeline:
-    """(channel, time)-sharded streaming DMR pipeline step.
+class TimeShardedPipeline:
+    """(channel, time)-sharded streaming pipeline step, any protocol.
 
-    Differences from the single-device ``DmrPipeline``:
+    Differences from the single-device ``*Pipeline`` classes:
 
     - fixed-stride consumption: every step consumes exactly
       ``block_len = n_time * centuries_per_shard * 100 * sps`` samples
@@ -78,33 +153,41 @@ class TimeShardedDmrPipeline:
       the block and ``h_right`` after it (the stream driver keeps the
       tail / waits for the lookahead).
 
+    Where the protocol decodes frame fields on device (DMR, YSF),
     ``centuries_per_shard`` must keep segments frame-aligned
-    (``centuries_per_shard * 100 % 144 == 0`` — multiples of 36) so each
-    shard's frame decode matches the single-device frame slicing.
+    (``centuries_per_shard * 100 % frame_size == 0`` — multiples of 36
+    for DMR's 144, of 24 for YSF's 480) so each shard's frame decode
+    matches the single-device frame slicing.
     """
 
-    def __init__(self, mesh: Mesh, channels: int, sps: int = 10,
-                 centuries_per_shard: int = 36, use_rrc: bool = True,
-                 drift_budget: int = 24):
+    def __init__(self, mesh: Mesh, channels: int, protocol: str = "dmr",
+                 sps: int | None = None,
+                 centuries_per_shard: int | None = None,
+                 use_rrc: bool = True, drift_budget: int = 24):
         if "time" not in mesh.axis_names or "channel" not in mesh.axis_names:
             raise ValueError("mesh needs ('channel', 'time') axes")
+        cfg = _protocol_config(protocol)
+        self.cfg = cfg
+        self.protocol = protocol
         self.mesh = mesh
         self.n_time = mesh.shape["time"]
         self.channels = channels
-        self.sps = sps
+        self.sps = cfg.sps if sps is None else sps
+        if centuries_per_shard is None:
+            centuries_per_shard = cfg.default_cps
         self.centuries_per_shard = centuries_per_shard
-        self.use_rrc = use_rrc
+        self.use_rrc = use_rrc and cfg.design is not None
         self.drift_budget = drift_budget
         self.seg_symbols = centuries_per_shard * CENTURY
-        if self.seg_symbols % FRAME_SIZE:
+        if cfg.frame_size and self.seg_symbols % cfg.frame_size:
             raise ValueError(
                 f"centuries_per_shard={centuries_per_shard} leaves segments "
-                f"frame-misaligned ({self.seg_symbols} % {FRAME_SIZE} != 0);"
-                " use a multiple of 36")
-        self.seg_len = self.seg_symbols * sps
+                f"frame-misaligned ({self.seg_symbols} % {cfg.frame_size} "
+                f"!= 0); use a multiple of {cfg.cps_quantum}")
+        self.seg_len = self.seg_symbols * self.sps
         self.block_len = self.n_time * self.seg_len
         self.symbols_per_block = self.n_time * self.seg_symbols
-        nt1 = WIDE_RRC.ntaps - 1 if use_rrc else 0
+        nt1 = cfg.design.ntaps - 1 if self.use_rrc else 0
         self.h_left = nt1 + drift_budget
         self.h_right = drift_budget + centuries_per_shard + 2
         self._step = self._build()
@@ -114,14 +197,16 @@ class TimeShardedDmrPipeline:
 
     # ------------------------------------------------------------------
     def _build(self):
+        cfg = self.cfg
         sps = self.sps
         n_cent = self.centuries_per_shard
         D = self.drift_budget
         HL, HR = self.h_left, self.h_right
         seg_len, seg_sym = self.seg_len, self.seg_symbols
         use_rrc = self.use_rrc
-        nt1 = WIDE_RRC.ntaps - 1
+        nt1 = cfg.design.ntaps - 1 if cfg.design is not None else 0
         T = self.n_time
+        max_sync = max(s.length for s in cfg.syncs)
 
         def local(x, edges, st_in):
             # x: [C_local, seg_len] raw samples of this shard's segment
@@ -147,7 +232,7 @@ class TimeShardedDmrPipeline:
             # ---- RRC: time-parallel overlap-save (exact w/ halo) ----
             if use_rrc:
                 y, _ = rrc_filter_block(
-                    xe[:, nt1:], RrcState(xe[:, :nt1]), WIDE_RRC)
+                    xe[:, nt1:], RrcState(xe[:, :nt1]), cfg.design)
             else:
                 y = xe
             # y[0] = filtered stream sample (segment_origin - D)
@@ -160,7 +245,11 @@ class TimeShardedDmrPipeline:
                 # pos arrives relative to this shard's segment origin;
                 # y starts D samples earlier
                 st_loc = DemodState(st.pos + D, st.offset, st.volume_ring)
-                d_i, st_out = gfsk_demod_block(y, st_loc, n_cent, sps)
+                if cfg.kind == "gfsk":
+                    d_i, st_out = gfsk_demod_block(y, st_loc, n_cent, sps)
+                else:
+                    d_i, st_out = fsk_demod_block(y, st_loc, n_cent, sps,
+                                                  cfg.invert)
                 # rebase the carry to the NEXT segment's origin before
                 # the hop (the wrap hop T-1 -> 0 then lands it already
                 # rebased for the next step's first segment)
@@ -179,37 +268,50 @@ class TimeShardedDmrPipeline:
                 to="varying")
             st_fin, dibits = jax.lax.fori_loop(0, T, round_, (st0, dib0))
 
-            # ---- sync correlation: time-parallel with a dibit halo ----
+            # ---- sync correlation: time-parallel with a symbol halo ----
             if T > 1:
                 dh = jax.lax.ppermute(
-                    dibits[:, :SYNC_SIZE - 1], "time", bwd)
+                    dibits[:, :max_sync - 1], "time", bwd)
             else:
-                dh = jnp.zeros((C, SYNC_SIZE - 1), dibits.dtype)
+                dh = jnp.zeros((C, max_sync - 1), dibits.dtype)
             dh = jnp.where(t == T - 1, jnp.zeros_like(dh), dh)
-            sync_dist = dmr_sync_correlate(
-                jnp.concatenate([dibits, dh], axis=-1))
-            # the final shard's last 23 windows have no dibits yet:
-            # mark invalid (the driver exposes only the valid region)
+            padded = jnp.concatenate([dibits, dh], axis=-1)
             win = jnp.arange(seg_sym)
-            invalid = (t == T - 1) & (win > seg_sym - SYNC_SIZE)
-            sync_dist = jnp.where(invalid[None, :, None], 99, sync_dist)
+            outputs = {"dibits": dibits}
+            for s in cfg.syncs:
+                dist = s.fn(padded)[:, :seg_sym]
+                # the final shard's last sync_len-1 windows have no
+                # symbols yet: mark invalid (the driver exposes only the
+                # valid region)
+                invalid = (t == T - 1) & (win > seg_sym - s.length)
+                inv = invalid.reshape((1, seg_sym) + (1,) * (dist.ndim - 2))
+                outputs[s.name] = jnp.where(inv, 99, dist)
 
             # ---- frame-field decode: time-parallel ----
-            frames = dibits.reshape(C, seg_sym // FRAME_SIZE, FRAME_SIZE)
-            fields = dmr_decode_frames(frames)
+            if cfg.frame_size:
+                frames = dibits.reshape(
+                    C, seg_sym // cfg.frame_size, cfg.frame_size)
+                outputs.update(cfg.decode_fn(frames))
 
             # carry out: one column per shard; after the wrap hop the true
             # stream carry sits on shard 0 — the host reads column 0
             st_cols = jax.tree.map(
                 lambda a: a[:, None] if a.ndim == 1 else a[:, None, :],
                 st_fin)
-            return {"dibits": dibits, "sync_dist_dense": sync_dist,
-                    **fields}, st_cols
+            return outputs, st_cols
 
-        field_ndims = _fields_structure()
+        out_shapes = {"dibits": 2}
+        probe = jax.ShapeDtypeStruct(
+            (1, seg_sym + max_sync - 1), jnp.uint8)
+        for s in cfg.syncs:
+            out_shapes[s.name] = jax.eval_shape(s.fn, probe).ndim
+        if cfg.frame_size:
+            fields = jax.eval_shape(
+                cfg.decode_fn,
+                jax.ShapeDtypeStruct((1, 1, cfg.frame_size), jnp.uint8))
+            out_shapes.update({k: v.ndim for k, v in fields.items()})
         out_specs = (
-            {"dibits": _ct_spec(2), "sync_dist_dense": _ct_spec(3),
-             **{k: _ct_spec(nd) for k, nd in field_ndims.items()}},
+            {k: _ct_spec(nd) for k, nd in out_shapes.items()},
             DemodState(pos=_ct_spec(2), offset=_ct_spec(2),
                        volume_ring=_ct_spec(3)),
         )
@@ -231,18 +333,30 @@ class TimeShardedDmrPipeline:
         (the h_left raw samples before the block + h_right after).
         state: demod carry, pos relative to the block origin.
 
-        Returns (outputs, new_state) where outputs mirrors
-        ``DmrPipeline.step`` (dibits [C, S], sync_dist_dense [C, S, 4]
-        with the final 23 columns invalid, frame fields [C, S/144, ...])
-        and new_state.pos is already relative to the NEXT block origin.
+        Returns (outputs, new_state) where outputs mirrors the
+        single-device ``step`` (symbols [C, S], each dense sync-distance
+        stream [C, S] with the final sync_len-1 columns invalid, frame
+        fields [C, S/frame_size, ...] where the protocol has them) and
+        new_state.pos is already relative to the NEXT block origin.
         """
         out, st_cols = self._step(body, edges, state)
         new_state = jax.tree.map(lambda a: a[:, 0], st_cols)
         return out, new_state
 
 
-class TimeShardedDmrStream:
-    """Host driver for :class:`TimeShardedDmrPipeline`.
+class TimeShardedDmrPipeline(TimeShardedPipeline):
+    """Backward-compatible DMR-specific entry point."""
+
+    def __init__(self, mesh: Mesh, channels: int, sps: int = 10,
+                 centuries_per_shard: int = 36, use_rrc: bool = True,
+                 drift_budget: int = 24):
+        super().__init__(mesh, channels, protocol="dmr", sps=sps,
+                         centuries_per_shard=centuries_per_shard,
+                         use_rrc=use_rrc, drift_budget=drift_budget)
+
+
+class TimeShardedStream:
+    """Host driver for :class:`TimeShardedPipeline`.
 
     Mirrors ``StreamDriver``/bank feeding but with the fixed-stride
     contract: keeps the raw left-edge tail, waits for ``h_right``
@@ -250,7 +364,7 @@ class TimeShardedDmrStream:
     asserts the carried drift stays inside the halo budget.
     """
 
-    def __init__(self, pipeline: TimeShardedDmrPipeline):
+    def __init__(self, pipeline: TimeShardedPipeline):
         from ..runtime.stream import SampleBuffer
 
         self.p = pipeline
@@ -282,3 +396,7 @@ class TimeShardedDmrStream:
             outs.append(out)
             self.buffer.consume(p.block_len)
         return outs
+
+
+# backward-compatible alias (round-1/2 name)
+TimeShardedDmrStream = TimeShardedStream
