@@ -75,8 +75,25 @@ def _branch_tables(num_states: int, transitions: np.ndarray):
     return prev, expected
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
+def _pallas_viterbi_default() -> bool:
+    """Fused Pallas trellis kernel on TPU (ops/viterbi_pallas.py) —
+    bit-identical to the scan; override with DIGIHAM_VITERBI_PALLAS=0/1
+    (a truthy override forces the kernel in interpret mode off-TPU)."""
+    from ..utils import env_flag
+
+    env = env_flag("DIGIHAM_VITERBI_PALLAS")
+    if env is not None:
+        return env
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_states", "blocked_steps", "impl"))
+def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0,
+                   impl: str = "auto"):
     """Decode one rate-1/2 stream.
 
     observed: [..., T] int array of received dibits (0-3).
@@ -84,10 +101,25 @@ def viterbi_decode(observed, num_states: int = 16, blocked_steps: int = 0):
     blocked_steps: NXDN prior-knowledge window — for the first N steps, a
       new state whose low ``blocked`` bits overlap the rotating block mask
       only considers the k=0 predecessor (trellis.cpp:34,56-57,84-85).
+    impl: "auto" (fused Pallas kernel on TPU for the 16-state codes, XLA
+      scan elsewhere), "pallas" (force the kernel; interpret mode
+      off-TPU), or "xla" — required under GSPMD auto-partitioning, which
+      cannot shard the Mosaic custom call (shard_map paths keep "auto").
 
     Returns (bits [..., T] int32, metric [...] int32).
     """
     _check_blocked_steps(num_states, blocked_steps)
+    if num_states == 16 and (
+            impl == "pallas"
+            or (impl == "auto" and _pallas_viterbi_default())):
+        from ..ops.viterbi_pallas import viterbi_decode_pallas
+
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        return viterbi_decode_pallas(observed, num_states, blocked_steps,
+                                     interpret=not on_tpu)
     transitions = TRANSITIONS_16 if num_states == 16 else TRANSITIONS_4
     prev_tbl, exp_tbl = _branch_tables(num_states, transitions)
     prev_tbl = jnp.asarray(prev_tbl)

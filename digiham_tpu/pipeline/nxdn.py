@@ -37,12 +37,14 @@ def _bits_from_dibits(d: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(d.shape[:-1] + (d.shape[-1] * 2,))
 
 
-def _depunctured_viterbi(bits: jnp.ndarray, table) -> jnp.ndarray:
+def _depunctured_viterbi(bits: jnp.ndarray, table,
+                         impl: str = "auto") -> jnp.ndarray:
     idx, mask = table
     inflated = jnp.where(jnp.asarray(mask),
                          bits[..., jnp.asarray(idx)], 0)
     dib = (inflated[..., 0::2] << 1) | inflated[..., 1::2]
-    decoded, _ = viterbi_decode(dib, num_states=16, blocked_steps=4)
+    decoded, _ = viterbi_decode(dib, num_states=16, blocked_steps=4,
+                                impl="auto" if impl == "auto" else "xla")
     return decoded
 
 

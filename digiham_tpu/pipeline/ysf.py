@@ -11,6 +11,8 @@ ysf_phase.cpp:180-219 (voice), 100-108 + 258-267 (DCH).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,20 +42,29 @@ def ysf_sync_correlate(dibits: jnp.ndarray) -> jnp.ndarray:
     return sync_correlate_conv(dibits, [YSF_SYNC], 4)[..., 0]
 
 
+def _vit_impl(impl: str) -> str:
+    """Pipeline impl level -> viterbi dispatch: only the full fast path
+    ("auto") may take the Mosaic kernel; "gspmd"/"xla" stay on the
+    partitionable XLA scan."""
+    return "auto" if impl == "auto" else "xla"
+
+
 def _bits_from_dibits(d: jnp.ndarray) -> jnp.ndarray:
     out = jnp.stack([(d >> 1) & 1, d & 1], axis=-1)
     return out.reshape(d.shape[:-1] + (d.shape[-1] * 2,))
 
 
-@jax.jit
-def decode_fich_batch(fich_dibits: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def decode_fich_batch(fich_dibits: jnp.ndarray, impl: str = "auto"):
     """[..., 100] FICH dibits -> (fich_word [...] uint32, ok [...] bool).
 
-    Batched over any leading shape (channels x frames).
+    Batched over any leading shape (channels x frames). ``impl`` routes
+    the Viterbi ("auto" = Pallas trellis kernel on TPU; "gspmd"/"xla"
+    keep the XLA scan for mesh auto-partitioning).
     """
     d = fich_dibits.astype(jnp.int32)
     x = d[..., jnp.asarray(interleave.ysf_fich())]
-    bits, _metric = viterbi_decode(x)  # [..., 100]
+    bits, _metric = viterbi_decode(x, impl=_vit_impl(impl))  # [..., 100]
     # pack 96 bits -> 4x24-bit golay words
     b96 = bits[..., :96].reshape(bits.shape[:-1] + (4, 24))
     w24 = jnp.asarray([1 << (23 - i) for i in range(24)], jnp.int32)
@@ -94,7 +105,6 @@ def decode_vd2_voice_batch(voice_dibits: jnp.ndarray) -> jnp.ndarray:
 
 
 import dataclasses
-import functools
 
 from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
 from ..dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
@@ -150,14 +160,14 @@ class YsfPipeline:
         if n_frames:
             frames = dibits[:, :n_frames * FRAME_SIZE].reshape(
                 self.channels, n_frames, FRAME_SIZE)
-            fields = ysf_decode_frames(frames)
+            fields = ysf_decode_frames(frames, impl=impl)
         outputs = {"dibits": dibits, "sync_dist_dense": sync_dist_dense,
                    **fields}
         return outputs, YsfPipelineState(rrc_state, demod_state)
 
 
-@jax.jit
-def decode_vd2_dch_batch(payload: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def decode_vd2_dch_batch(payload: jnp.ndarray, impl: str = "auto"):
     """[..., 360] payload dibits -> (dch bytes [..., 10] uint8, ok).
 
     Batched V/D2 data channel (ysf_phase.cpp:100-108 + 258-267):
@@ -165,7 +175,7 @@ def decode_vd2_dch_batch(payload: jnp.ndarray):
     """
     d = payload.astype(jnp.int32)
     dch_dibits = d[..., jnp.asarray(interleave.ysf_dch_v2())]
-    bits, _ = viterbi_decode(dch_dibits)  # [..., 100]
+    bits, _ = viterbi_decode(dch_dibits, impl=_vit_impl(impl))  # [..., 100]
     w8 = jnp.asarray([1 << (7 - i) for i in range(8)], jnp.int32)
     by = jnp.sum(bits[..., :96].reshape(bits.shape[:-1] + (12, 8)) * w8,
                  axis=-1)
@@ -178,8 +188,8 @@ def decode_vd2_dch_batch(payload: jnp.ndarray):
     return dch.astype(jnp.uint8), ok
 
 
-@jax.jit
-def ysf_decode_frames(frames: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def ysf_decode_frames(frames: jnp.ndarray, impl: str = "auto"):
     """[..., 480] frame dibits -> field dict: sync distance, FICH word/ok,
     V/D2 voice bytes for all 5 blocks, V/D2 DCH bytes/ok."""
     d = frames.astype(jnp.int32)
@@ -187,13 +197,13 @@ def ysf_decode_frames(frames: jnp.ndarray):
     sync_dist = jax.lax.population_count(
         sync ^ jnp.asarray(YSF_SYNC, jnp.int32)).sum(-1)
     fich_data, fich_ok = decode_fich_batch(
-        d[..., SYNC_SIZE:SYNC_SIZE + FICH_SIZE])
+        d[..., SYNC_SIZE:SYNC_SIZE + FICH_SIZE], impl=impl)
     payload = d[..., SYNC_SIZE + FICH_SIZE:FRAME_SIZE]
     blocks = jnp.stack(
         [payload[..., 20 + i * 72:20 + i * 72 + 52] for i in range(5)],
         axis=-2)  # [..., 5, 52]
     voice = decode_vd2_voice_batch(blocks)
-    dch, dch_ok = decode_vd2_dch_batch(payload)
+    dch, dch_ok = decode_vd2_dch_batch(payload, impl=impl)
     return {
         "sync_dist": sync_dist,
         "fich_data": fich_data,
