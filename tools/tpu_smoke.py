@@ -167,6 +167,31 @@ def smoke_pocsag():
     return ok, f"outputs {[outputs[c][:60] for c in range(2)]}"
 
 
+def smoke_viterbi():
+    """On-hardware Mosaic-vs-XLA trellis parity: the Pallas Viterbi
+    kernel must be BIT-identical to the scan (exact integer arithmetic —
+    no f32-envelope allowance here), on noisy and tie-heavy inputs,
+    for both YSF (T=100) and NXDN blocked-start (T=30) shapes."""
+    from digiham_tpu.fec.viterbi import conv_encode, viterbi_decode
+
+    rng = np.random.default_rng(42)
+    checks = []
+    for T, blocked, B in ((100, 0, 300), (30, 4, 300)):
+        bits = rng.integers(0, 2, (B, T))
+        if blocked:
+            bits[:, :blocked] = 0
+        obs = conv_encode(bits, 16)
+        flips = rng.random(obs.shape) < 0.12
+        obs = np.where(flips, obs ^ rng.integers(1, 4, obs.shape), obs)
+        obs = np.concatenate([obs, rng.integers(0, 4, (B, T))])  # ties
+        pb, pm = viterbi_decode(obs, 16, blocked, impl="pallas")
+        xb, xm = viterbi_decode(obs, 16, blocked, impl="xla")
+        checks.append(bool(np.array_equal(np.asarray(pb), np.asarray(xb))
+                           and np.array_equal(np.asarray(pm),
+                                              np.asarray(xm))))
+    return all(checks), f"bit-identical (T=100, T=30 blocked): {checks}"
+
+
 def main(only=None):
     import jax
     try:
@@ -176,7 +201,8 @@ def main(only=None):
         pass
     print("backend:", jax.devices()[0].platform, flush=True)
     cases = {"dmr": smoke_dmr, "ysf": smoke_ysf, "nxdn": smoke_nxdn,
-             "dstar": smoke_dstar, "pocsag": smoke_pocsag}
+             "dstar": smoke_dstar, "pocsag": smoke_pocsag,
+             "viterbi": smoke_viterbi}
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
     failed = []
