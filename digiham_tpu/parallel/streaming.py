@@ -187,6 +187,8 @@ class TimeShardedPipeline:
         self.seg_len = self.seg_symbols * self.sps
         self.block_len = self.n_time * self.seg_len
         self.symbols_per_block = self.n_time * self.seg_symbols
+        # total centuries per step (TrackedChannelBank sizing contract)
+        self.n_centuries = self.n_time * centuries_per_shard
         nt1 = cfg.design.ntaps - 1 if self.use_rrc else 0
         self.h_left = nt1 + drift_budget
         self.h_right = drift_budget + centuries_per_shard + 2

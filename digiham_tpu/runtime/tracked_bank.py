@@ -584,6 +584,105 @@ class TrackedChannelBank:
                 return
 
 
+class TimeShardedTrackedBank(TrackedChannelBank):
+    """The production tracker bank over a (channel, time)-sharded
+    STREAMING pipeline (parallel/streaming.py::TimeShardedPipeline).
+
+    The device step runs the exact ppermute carry chain across time
+    shards; the host side (hunt gating, trackers, metadata) is the
+    parent class unchanged, so outputs and events are byte-identical to
+    the unsharded TrackedChannelBank on the same sample stream
+    (tests/test_tracked_bank_timesharded.py). Differences from the
+    parent are purely the consumption contract:
+
+    - fixed stride: each step consumes exactly ``block_len`` samples per
+      channel; the ±1/century timing drift accumulates in the carried
+      ``pos`` (asserted < drift_budget) instead of the block size;
+    - the buffer retains ``h_left`` raw left-edge samples (primed with
+      zeros at stream start — the reference delay lines start zeroed)
+      and waits for ``h_right`` lookahead before stepping.
+    """
+
+    def __init__(self, sharded_pipeline, on_output=None,
+                 slot_filter: int = 3, adapter=None):
+        super().__init__(sharded_pipeline, on_output=on_output,
+                         slot_filter=slot_filter, adapter=adapter,
+                         mesh=None)
+        self.samples.push(np.zeros(
+            (self.channels, sharded_pipeline.h_left), np.float32))
+
+    def push(self, samples: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        p = self.pipeline
+        if self.samples is None:
+            raise RuntimeError("bank was flushed; create a new bank")
+        self.samples.push(np.asarray(samples, np.float32))
+        need = p.h_left + p.block_len + p.h_right
+        while self.samples.fill >= need:
+            view = self.samples.view(need)
+            body = jnp.asarray(view[:, p.h_left:p.h_left + p.block_len])
+            edges = jnp.asarray(np.concatenate(
+                [view[:, :p.h_left], view[:, p.h_left + p.block_len:]],
+                axis=1))
+            with self._meter.measure(self.channels * p.block_len):
+                out, self.state = p.step(body, edges, self.state)
+                hits = self.adapter.block_hits(out) \
+                    if hasattr(self.adapter, "block_hits") else None
+                self._consume_dibits(np.asarray(out["dibits"]), hits)
+            self._registry.maybe_report()
+            pos = np.asarray(self.state.pos)
+            if np.abs(pos).max() >= p.drift_budget:
+                raise RuntimeError(
+                    f"timing drift {pos.min()}..{pos.max()} exceeded the "
+                    f"halo budget ±{p.drift_budget}")
+            self.samples.consume(p.block_len)
+
+    def flush(self) -> None:
+        """EOF parity with the parent: host-oracle the buffered tail.
+
+        The carried ``pos`` is relative to the retained body origin
+        (``h_left`` into the buffer) and may be slightly negative
+        (drift), so the oracle stream starts ``drift_budget`` raw
+        samples earlier — exactly the headroom ``h_left`` reserves —
+        and the RRC history comes from the ``ntaps-1`` raw samples
+        before that point (index 0 of the buffer, by construction
+        ``h_left = ntaps-1 + drift_budget``)."""
+        import jax.numpy as jnp
+
+        from ..dsp.demod import FskDemodNp, GfskDemodNp
+        from ..dsp.rrc import RrcState, rrc_filter_block
+
+        p = self.pipeline
+        cfg = p.cfg
+        D = p.drift_budget
+        fill = self.samples.fill
+        tail = self.samples.data[:, :fill]
+        if p.use_rrc:
+            nt1 = cfg.design.ntaps - 1
+            body = tail[:, nt1:]
+            if body.shape[1]:
+                body = np.asarray(rrc_filter_block(
+                    jnp.asarray(body),
+                    RrcState(jnp.asarray(tail[:, :nt1], np.float32)),
+                    cfg.design)[0])
+        else:
+            body = tail
+        cls = FskDemodNp if cfg.kind == "fsk" else GfskDemodNp
+        pos = np.asarray(self.state.pos)
+        offset = np.asarray(self.state.offset)
+        ring = np.asarray(self.state.volume_ring)
+        symbols = []
+        for c in range(self.channels):
+            o = cls(p.sps, invert=cfg.invert)
+            o.pos = int(pos[c]) + D
+            o.variance_offset = int(offset[c])
+            o.volume_rb = ring[c].astype(np.float32).copy()
+            symbols.append(o.process(body[c]))
+        self._consume_dibits(symbols)
+        self.samples = None  # further push() fails loudly
+
+
 def _flush_demod(pipeline, state, samples) -> list:
     """Demodulate a bank's buffered sample tail with the per-symbol host
     oracle seeded from the device carry. Returns one uint8 symbol array

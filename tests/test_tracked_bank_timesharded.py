@@ -1,0 +1,173 @@
+"""Time-sharded TrackedChannelBank: the production tracker bank driven
+by the (channel, time) streaming carry-chain pipeline must emit bytes
+and metadata events identical to the unsharded bank on the same sample
+stream — including snapshot/restore and the EOF flush tail."""
+import numpy as np
+import pytest
+
+import jax
+
+from digiham_tpu.parallel import make_mesh
+from digiham_tpu.parallel.streaming import TimeShardedPipeline
+from digiham_tpu.pipeline import DmrPipeline
+from digiham_tpu.runtime.meta import PipelineMetaWriter
+from digiham_tpu.runtime.tracked_bank import (
+    TimeShardedTrackedBank,
+    TrackedChannelBank,
+)
+
+from dmr_synth import voice_frame
+
+LEVELS = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+C = 2
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    return make_mesh(n_channel_shards=2, n_time_shards=2)
+
+
+def _sharded_bank(mesh, cps=36):
+    sp = TimeShardedPipeline(mesh, channels=C, protocol="dmr",
+                             centuries_per_shard=cps)
+    outputs = {c: b"" for c in range(C)}
+    bank = TimeShardedTrackedBank(
+        sp, on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d))
+    metas = []
+    for c in range(C):
+        events = []
+        bank.set_meta_writer(c, PipelineMetaWriter(
+            lambda b, ev=events: ev.append(b.decode())))
+        metas.append(events)
+    return bank, outputs, metas
+
+
+def _plain_bank():
+    outputs = {c: b"" for c in range(C)}
+    bank = TrackedChannelBank(
+        DmrPipeline(channels=C, sps=10, n_centuries=4),
+        on_output=lambda c, d: outputs.__setitem__(
+            c, outputs[c] + d))
+    metas = []
+    for c in range(C):
+        events = []
+        bank.set_meta_writer(c, PipelineMetaWriter(
+            lambda b, ev=events: ev.append(b.decode())))
+        metas.append(events)
+    return bank, outputs, metas
+
+
+def _samples(seed, n_frames=120, noise=40.0):
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 4, 108)
+    frames = [voice_frame(s % 2, payload, sync=True)
+              for s in range(n_frames)]
+    dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
+    base = np.repeat(LEVELS[dibits], 10) * 1000
+    return np.stack([base + rng.normal(0, noise, base.shape)
+                     for _ in range(C)]).astype(np.float32)
+
+
+def test_timesharded_bank_equals_unsharded(mesh):
+    samples = _samples(3)
+    bank_s, out_s, meta_s = _sharded_bank(mesh)
+    bank_p, out_p, meta_p = _plain_bank()
+    for lo in range(0, samples.shape[1], 8192):
+        bank_s.push(samples[:, lo:lo + 8192])
+        bank_p.push(samples[:, lo:lo + 8192])
+    # the stream must be long enough that the device path actually
+    # stepped (not everything through the flush oracle)
+    assert samples.shape[1] > bank_s.pipeline.block_len + 2000
+    assert any(len(v) > 0 for v in out_s.values())
+    bank_s.flush()
+    bank_p.flush()
+    for c in range(C):
+        assert out_s[c] == out_p[c], f"ch{c} payload diverges"
+        assert "".join(meta_s[c]) == "".join(meta_p[c]), \
+            f"ch{c} metadata diverges"
+    assert any(len(v) > 0 for v in out_p.values())  # decoded something
+
+
+def test_timesharded_bank_snapshot_restore(mesh):
+    samples = _samples(9, n_frames=130)
+    half = (samples.shape[1] // 2) // 512 * 512
+    bank, outputs, metas = _sharded_bank(mesh)
+    bank.push(samples[:, :half])
+    blob = bank.snapshot()
+
+    bank2, outputs2, metas2 = _sharded_bank(mesh)
+    bank2.restore(blob)
+    pre = {c: len(outputs[c]) for c in outputs}
+    bank.push(samples[:, half:])
+    bank2.push(samples[:, half:])
+    for c in outputs:
+        assert outputs[c][pre[c]:] == outputs2[c]
+
+
+def test_timesharded_bank_dstar_equals_unsharded(mesh):
+    """The 2FSK bit-domain path (no RRC) with the lookahead-carrying
+    D-Star adapter: header hunt + voice tracking byte/event parity."""
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import DstarAdapter
+
+    from test_dstar import full_voice_stream
+
+    rng = np.random.default_rng(5)
+    parts = (full_voice_stream(140)
+             + [np.zeros(400, np.uint8)])
+    bits = np.concatenate(parts)
+    levels = np.array([-1.0, 1.0], np.float32)
+    base = np.repeat(levels[bits], 10) * 1000
+    samples = np.stack([base + rng.normal(0, 60, base.shape)
+                        for _ in range(C)]).astype(np.float32)
+
+    results = {}
+    for sharded in (False, True):
+        outputs = {c: b"" for c in range(C)}
+        if sharded:
+            sp = TimeShardedPipeline(mesh, channels=C, protocol="dstar",
+                                     centuries_per_shard=16)
+            bank = TimeShardedTrackedBank(
+                sp, adapter=DstarAdapter(),
+                on_output=lambda c, d: outputs.__setitem__(
+                    c, outputs[c] + d))
+            assert samples.shape[1] > sp.block_len + 2000
+        else:
+            bank = TrackedChannelBank(
+                FskPipeline(channels=C, protocol="dstar", n_centuries=2),
+                adapter=DstarAdapter(),
+                on_output=lambda c, d: outputs.__setitem__(
+                    c, outputs[c] + d))
+        metas = []
+        for c in range(C):
+            events = []
+            bank.set_meta_writer(c, PipelineMetaWriter(
+                lambda b, ev=events: ev.append(b.decode())))
+            metas.append(events)
+        for lo in range(0, samples.shape[1], 8192):
+            bank.push(samples[:, lo:lo + 8192])
+        bank.flush()
+        results[sharded] = (dict(outputs),
+                            ["".join(e) for e in metas])
+    assert results[True] == results[False]
+    assert any(len(v) > 0 for v in results[False][0].values())
+
+
+def test_timesharded_bank_flush_only_tail(mesh):
+    """A stream shorter than one sharded block decodes entirely via the
+    EOF flush oracle — parity with the unsharded bank's flush."""
+    samples = _samples(7, n_frames=6)  # ~9.4k samples < 72-century block
+    bank_s, out_s, meta_s = _sharded_bank(mesh)
+    bank_p, out_p, meta_p = _plain_bank()
+    bank_s.push(samples)
+    bank_p.push(samples)
+    assert all(len(v) == 0 for v in out_s.values())  # nothing stepped yet
+    bank_s.flush()
+    bank_p.flush()
+    for c in range(C):
+        assert out_s[c] == out_p[c]
+        assert "".join(meta_s[c]) == "".join(meta_p[c])
+    assert any(len(v) > 0 for v in out_p.values())
