@@ -231,17 +231,25 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
     from ..ops.demod_pallas import (POS_GUARD, pallas_demod_block,
                                     pick_tile)
 
+    from ..utils import env_flag
+
     ok = (state.pos.min() >= 0) & (state.pos.max() < POS_GUARD)
     C, L = samples.shape
+    # DIGIHAM_DEMOD_DMA=1: ANY-memory kernel (sample rows stay in HBM,
+    # per-century windows double-buffered in via async copies) — lifts
+    # the resident kernel's tile cap to 128. Bit-identical outputs;
+    # default stays the resident kernel until the hardware A/B
+    # (tools/bench_demod_pallas.py --dma) shows a win.
+    dma = bool(env_flag("DIGIHAM_DEMOD_DMA"))
     # largest VMEM-safe channel tile that divides the bank (wider tiles
     # measured faster at 256ch: bigger selection matmuls, fewer grid steps)
-    tile = pick_tile(C, L, n_centuries, sps)
+    tile = pick_tile(C, L, n_centuries, sps, dma=dma)
 
     def pallas_branch(args):
         samples, state = args
         return pallas_demod_block(samples, state, n_centuries, sps,
                                   mode=mode, invert=invert, tile=tile,
-                                  interpret=interpret)
+                                  interpret=interpret, dma=dma)
 
     def rebase_branch(args):
         # per-channel dynamic-slice rebase (scalar-core gather — fine on
@@ -256,7 +264,7 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
                          state.volume_ring)
         dib, st1 = pallas_demod_block(rows, st0, n_centuries, sps,
                                       mode=mode, invert=invert, tile=tile,
-                                      interpret=interpret)
+                                      interpret=interpret, dma=dma)
         return dib, DemodState(st1.pos + shift, st1.offset,
                                st1.volume_ring)
 

@@ -75,12 +75,18 @@ def _shift_bound(n_centuries: int) -> int:
     return POS_GUARD - 1 + _BACKOFF + n_centuries
 
 
-def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
+def pick_tile(C: int, L: int, n_centuries: int, sps: int,
+              dma: bool = False) -> int:
     """Largest channel tile that divides C and keeps one grid step's
     input row block inside a conservative VMEM budget (measured: tile=128
     at [128, 16512] f32 = 8.4 MB compiles and is the fastest at 256ch x
     16 centuries; wider selection matmuls use more MXU rows and fewer
-    grid steps amortize fixed work)."""
+    grid steps amortize fixed work).
+
+    dma=True sizes for the ANY-memory kernel, where only a double-
+    buffered [tile, load] century window (not the whole [tile, L] row
+    block) is VMEM-resident — the restructure that lifts the tile cap
+    the resident kernel needs (docs/ROADMAP.md item 3)."""
     import os
     import sys
     env = os.environ.get("DIGIHAM_DEMOD_TILE")
@@ -99,6 +105,18 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
     load = -(-(span + _shift_bound(n_centuries)) // 128) * 128
     last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
     L_pad = -(-max(L, last_start + load) // 128) * 128
+    budget = 14 * 2 ** 20
+    if dma:
+        # resident per grid step: the 2-slot DMA scratch, the batched-AGC
+        # concatenations/scan temporaries (~8 live [tile, (nc+1)*100]
+        # rows), and the double-buffered dibit output block
+        for t in (128, 64, 32, 16, 8):
+            need = (2 * t * load * 4
+                    + 10 * t * (n_centuries + 1) * 128 * 4
+                    + 2 * t * n_centuries * 128 * 4)
+            if C % t == 0 and need <= budget:
+                return t
+        return next(t for t in (128, 64, 32, 16, 8) if C % t == 0)
     # scoped VMEM is 16 MB and Mosaic double-buffers the grid-varying
     # input and output blocks; the selection matrices add ~0.9 MB.
     # Auto-pick caps at 32: tile=64/128 kernels compile standalone but
@@ -106,7 +124,6 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
     # embedding them (observed round 2), and with the batched-AGC kernel
     # the 32->64 gain is inside the dispatch-floor noise anyway; the
     # DIGIHAM_DEMOD_TILE override above remains for experiments.
-    budget = 14 * 2 ** 20
     for t in (32, 16, 8):
         need = 2 * t * L_pad * 4 + 2 * t * n_centuries * 128 * 4
         if C % t == 0 and need <= budget:
@@ -115,11 +132,19 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int) -> int:
 
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
-                 invert: bool, load: int, ablate: tuple = ()):
+                 invert: bool, load: int, ablate: tuple = (),
+                 dma: bool = False):
     """ablate (PERF DIAGNOSTIC ONLY — wrong results): "shift" skips the
     alignment shifter, "timing" skips the variance matmuls, "agc" uses
     fixed thresholds. Used by tools/bench_demod_pallas.py to attribute
-    kernel time; never set by production dispatch."""
+    kernel time; never set by production dispatch.
+
+    dma=True: the sample rows stay in ANY memory (HBM on hardware) and
+    each century's 128-aligned [tile, load] window is double-buffered
+    into a VMEM scratch with async copies — century c+1's DMA overlaps
+    century c's compute. Identical math on identical windows, so the
+    outputs are bit-identical to the resident kernel."""
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     lo, hi = _eval_bounds(sps)
@@ -162,9 +187,22 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             sh *= 2
         return mn, mx
 
+    def _century_start(c):
+        return max(0, (c * n // 128) * 128 - 128)
+
     def kernel(sel_vol_ref, sel_mid_ref, p_col_ref,
                y_ref, pos_ref, off_ref, ring_ref,
-               dib_ref, pos_out, off_out, ring_out):
+               dib_ref, pos_out, off_out, ring_out, *scratch):
+        if dma:
+            wbuf, dma_sem = scratch
+            rows = pl.ds(pl.program_id(0) * tile, tile)
+
+            def _copy(c):
+                return pltpu.make_async_copy(
+                    y_ref.at[rows, pl.ds(_century_start(c), load)],
+                    wbuf.at[c % 2], dma_sem.at[c % 2])
+
+            _copy(0).start()
         sel_vol = sel_vol_ref[:, :]
         sel_mid = sel_mid_ref[:, :]
         p_col = p_col_ref[:, :]
@@ -179,8 +217,14 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             # to pos[ch] via the log-stage shifter (left-rotate by bit k of
             # the shift where set — static rolls + per-row selects only),
             # MSB-first so the view can narrow once the residual is < 128
-            start_c = max(0, (c * n // 128) * 128 - 128)
-            W = y_ref[:, start_c:start_c + load]
+            start_c = _century_start(c)
+            if dma:
+                if c + 1 < n_centuries:
+                    _copy(c + 1).start()
+                _copy(c).wait()
+                W = wbuf[c % 2]
+            else:
+                W = y_ref[:, start_c:start_c + load]
             sh = pos - start_c          # [TILE] >= 0, <= bound
             if "shift" not in ablate:
                 for amt in amts:
@@ -292,18 +336,21 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
 @functools.partial(jax.jit,
                    static_argnames=("n_centuries", "sps", "mode",
                                     "invert", "tile", "interpret",
-                                    "ablate"))
+                                    "ablate", "dma"))
 def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                        n_centuries: int, sps: int = 10,
                        mode: str = "gfsk", invert: bool = False,
                        tile: int = 8, interpret: bool = False,
-                       ablate: tuple = ()):
+                       ablate: tuple = (), dma: bool = False):
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
     Requires 0 <= pos[ch] < POS_GUARD (streaming drivers rebase pos to
     < 2*sps, far inside the bound; the dsp.demod dispatch guards and
     rebases otherwise).
+    dma=True keeps the sample rows out of VMEM and double-buffers each
+    century's aligned window in with async copies — bit-identical
+    outputs, VMEM footprint independent of L, tiles up to 128.
     Returns (symbols [C, n_centuries*100] uint8, new DemodState).
     """
     from jax.experimental import pallas as pl
@@ -323,9 +370,20 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
         samples = jnp.pad(samples, ((0, 0), (0, L_pad - L)))
     grid = (C // tile,)
     kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
-                          ablate)
+                          ablate, dma)
     sel_vol, sel_mid, p_col = _selection_matrices(sps)
     out_w = -(-(n_centuries * CENTURY) // 128) * 128
+
+    if dma:
+        y_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((2, tile, load), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        y_spec = pl.BlockSpec((tile, L_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        scratch_shapes = []
 
     dib, pos, off, ring = pl.pallas_call(
         kernel,
@@ -337,8 +395,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, sps), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, L_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            y_spec,
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -362,6 +419,7 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
             jax.ShapeDtypeStruct((C, 1), jnp.int32),
             jax.ShapeDtypeStruct((C, CENTURY), jnp.float32),
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(jnp.asarray(sel_vol), jnp.asarray(sel_mid), jnp.asarray(p_col),
       samples, state.pos[:, None], state.offset[:, None],

@@ -181,6 +181,64 @@ def test_auto_dispatch_guard():
         _assert_state_match(st_a, st_x)
 
 
+@pytest.mark.parametrize("tile", [8, 16])
+def test_dma_variant_matches_resident(tile):
+    """The ANY-memory double-buffered kernel (dma=True) computes the
+    same math on the same windows as the VMEM-resident kernel — its
+    outputs must be BITWISE identical to the resident kernel's (not
+    just inside the f32 envelope), and its dibits exact vs the XLA
+    scan."""
+    rng = np.random.default_rng(60 + tile)
+    channels, n_cent, sps = 16, 4, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, 0.1))
+    st = demod_init(channels)
+    want, _ = gfsk_demod_block(sig, st, n_cent, sps)
+    got_r, st_r = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                     tile=tile, interpret=True)
+    got_d, st_d = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                     tile=tile, interpret=True, dma=True)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(got_r))
+    np.testing.assert_array_equal(np.asarray(st_d.pos), np.asarray(st_r.pos))
+    np.testing.assert_array_equal(np.asarray(st_d.offset),
+                                  np.asarray(st_r.offset))
+    # bitwise: identical summation order, only the staging differs
+    np.testing.assert_array_equal(np.asarray(st_d.volume_ring),
+                                  np.asarray(st_r.volume_ring))
+
+
+def test_dma_variant_fsk_nonzero_state():
+    """dma=True under the FSK slicer with a warm carried-in state."""
+    rng = np.random.default_rng(71)
+    channels, n_cent, sps = 8, 2, 40
+    tx = rng.integers(0, 2, (channels, n_cent * 100 + 12))
+    sig = np.repeat(np.array([-1.0, 1.0])[tx], sps, axis=-1) * 800
+    sig = jnp.asarray((sig + rng.normal(0, 60, sig.shape)).astype(np.float32))
+    st = DemodState(
+        pos=jnp.asarray(rng.integers(0, 9, channels).astype(np.int32)),
+        offset=jnp.asarray(rng.integers(-1, 2, channels).astype(np.int32)),
+        volume_ring=jnp.asarray(
+            rng.normal(0, 400, (channels, 100)).astype(np.float32)))
+    want, st_x = fsk_demod_block(sig, st, n_cent, sps)
+    got, st_d = pallas_demod_block(sig, st, n_cent, sps, mode="fsk",
+                                   interpret=True, dma=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(st_d, st_x)
+
+
+def test_pick_tile_dma_lifts_cap():
+    """The DMA restructure makes the VMEM footprint independent of the
+    block length, so the auto tile reaches 128 where the resident
+    kernel caps at 32."""
+    from digiham_tpu.ops.demod_pallas import pick_tile
+
+    L = 16 * (100 * 10 + 1) + 8
+    assert pick_tile(256, L, 16, 10) == 32
+    assert pick_tile(256, L, 16, 10, dma=True) == 128
+    # still divides small banks
+    assert pick_tile(8, L, 16, 10, dma=True) == 8
+
+
 def test_nonzero_start_state():
     """Nonzero pos / pending slew / warm volume ring carried in."""
     rng = np.random.default_rng(11)

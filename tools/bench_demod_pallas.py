@@ -66,6 +66,11 @@ def main():
         "xla": lambda x, st: gfsk_demod_block(x, st, n_cent, sps),
         "pallas": lambda x, st: pallas_demod_block(x, st, n_cent, sps,
                                                    mode="gfsk", tile=tile),
+        # ANY-memory double-buffered variant: tile up to 128 (bit-exact
+        # twin of "pallas"; BENCH_DMA_TILE sizes it independently)
+        "pallas-dma": lambda x, st: pallas_demod_block(
+            x, st, n_cent, sps, mode="gfsk",
+            tile=int(os.environ.get("BENCH_DMA_TILE", "64")), dma=True),
     }
     only = os.environ.get("BENCH_ONLY")
     if only:
