@@ -228,12 +228,12 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
     the same Pallas kernel — bit-identical output, and both cond
     branches compile in seconds (an XLA-scan fallback here would re-pay
     the multi-minute scan compile the kernel exists to avoid)."""
-    from ..ops.demod_pallas import (POS_GUARD, pallas_demod_block,
-                                    pick_tile)
+    from ..ops.demod_pallas import (pallas_demod_block, pick_tile,
+                                    pos_guard)
 
     from ..utils import env_flag
 
-    ok = (state.pos.min() >= 0) & (state.pos.max() < POS_GUARD)
+    ok = (state.pos.min() >= 0) & (state.pos.max() < pos_guard(sps))
     C, L = samples.shape
     # DIGIHAM_DEMOD_DMA=1: ANY-memory kernel (sample rows stay in HBM,
     # per-century windows double-buffered in via async copies) — lifts

@@ -9,7 +9,9 @@ single kernel per channel tile:
   kernel takes ONE 128-aligned static slice and aligns each channel's
   window with a log-stage shifter (conditional static lane-rotations —
   Mosaic rejects dynamic lane offsets, so the dynamic per-channel read
-  position becomes ~9 vectorized select stages instead);
+  position becomes 8 vectorized select stages instead: per-century
+  start floors fold the worst-case backward slew into the static base,
+  and the sps-aware pos guard keeps the total bound under 256);
 - every per-symbol statistic (volume sum, mid-third sum, per-column
   timing sums) is ONE selection matmul on the MXU:
   ``window[TILE, 100*sps] @ SEL[100*sps, 100|sps]`` — the [100, sps]
@@ -64,15 +66,35 @@ def _selection_matrices(sps: int):
     return sel_vol, sel_mid, p_col
 
 
-POS_GUARD = 128  # hot path requires 0 <= pos < POS_GUARD (see wrapper)
-_BACKOFF = 255   # max (aligned base behind pos): 128 backoff + floor error
+POS_GUARD = 128  # absolute cap on pos_guard(sps) (back-compat export)
 
 
-def _shift_bound(n_centuries: int) -> int:
+def pos_guard(sps: int) -> int:
+    """Hot-path bound on the block-relative start position: the dispatch
+    rebases rows with pos >= this (cold branch). Streaming drivers rebase
+    pos below ~2*sps each block and the time-sharded step enters at
+    pos < 2*drift_budget (default 48), so an sps-aware guard keeps both
+    hot while shaving a log-shifter stage: a tighter guard pulls the
+    total shift bound under 256 (8 stages instead of 9)."""
+    for g in (32, 64, 96, 128):
+        if g >= 2 * sps + 8:
+            return g
+    return POS_GUARD
+
+
+def _century_start(c: int, n: int) -> int:
+    """128-aligned static base for century c's window: the lowest
+    possible read position is c*n - c (pos0 >= 0, cumulative +-1 slew
+    >= -c), floored to the lane-alignment boundary."""
+    return max(0, ((c * n - c) // 128) * 128)
+
+
+def _shift_bound(n_centuries: int, sps: int) -> int:
     """Max per-century (pos - aligned century base): the block-relative
-    start position (< POS_GUARD, wrapper-guarded) + the 128-aligned
-    backoff (<= 255) + the cumulative +-1 timing slew (<= n_centuries)."""
-    return POS_GUARD - 1 + _BACKOFF + n_centuries
+    start position (< pos_guard(sps), wrapper-guarded) + the 128-aligned
+    floor error (<= 127) + the worst spread between the slew folded into
+    the base (-c) and the actual cumulative slew (+c)."""
+    return pos_guard(sps) - 1 + 127 + 2 * n_centuries
 
 
 def pick_tile(C: int, L: int, n_centuries: int, sps: int,
@@ -102,8 +124,8 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
               file=sys.stderr)
     span = CENTURY * sps + 1
     n = CENTURY * sps
-    load = -(-(span + _shift_bound(n_centuries)) // 128) * 128
-    last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
+    load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
+    last_start = _century_start(n_centuries - 1, n)
     L_pad = -(-max(L, last_start + load) // 128) * 128
     budget = 14 * 2 ** 20
     if dma:
@@ -150,7 +172,7 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
     lo, hi = _eval_bounds(sps)
     n = CENTURY * sps
     span = n + 1
-    bound = _shift_bound(n_centuries)
+    bound = _shift_bound(n_centuries, sps)
     # MSB-first shifter: once every stage >= 128 has run, the residual
     # shift is < 128, so the remaining stages only need the first
     # round_up(127 + span, 128) lanes — progressive narrowing cuts the
@@ -187,9 +209,6 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             sh *= 2
         return mn, mx
 
-    def _century_start(c):
-        return max(0, (c * n // 128) * 128 - 128)
-
     def kernel(sel_vol_ref, sel_mid_ref, p_col_ref,
                y_ref, pos_ref, off_ref, ring_ref,
                dib_ref, pos_out, off_out, ring_out, *scratch):
@@ -199,7 +218,7 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
 
             def _copy(c):
                 return pltpu.make_async_copy(
-                    y_ref.at[rows, pl.ds(_century_start(c), load)],
+                    y_ref.at[rows, pl.ds(_century_start(c, n), load)],
                     wbuf.at[c % 2], dma_sem.at[c % 2])
 
             _copy(0).start()
@@ -217,7 +236,7 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             # to pos[ch] via the log-stage shifter (left-rotate by bit k of
             # the shift where set — static rolls + per-row selects only),
             # MSB-first so the view can narrow once the residual is < 128
-            start_c = _century_start(c)
+            start_c = _century_start(c, n)
             if dma:
                 if c + 1 < n_centuries:
                     _copy(c + 1).start()
@@ -345,8 +364,8 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
-    Requires 0 <= pos[ch] < POS_GUARD (streaming drivers rebase pos to
-    < 2*sps, far inside the bound; the dsp.demod dispatch guards and
+    Requires 0 <= pos[ch] < pos_guard(sps) (streaming drivers rebase
+    pos to < 2*sps, inside the bound; the dsp.demod dispatch guards and
     rebases otherwise).
     dma=True keeps the sample rows out of VMEM and double-buffers each
     century's aligned window in with async copies — bit-identical
@@ -360,10 +379,10 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     assert C % tile == 0, (C, tile)
     span = CENTURY * sps + 1
     n = CENTURY * sps
-    load = -(-(span + _shift_bound(n_centuries)) // 128) * 128
+    load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
     # right-pad so every century's aligned [start_c, start_c + load) read
     # stays in bounds
-    last_start = max(0, ((n_centuries - 1) * n // 128) * 128 - 128)
+    last_start = _century_start(n_centuries - 1, n)
     L_pad = max(L, last_start + load)
     L_pad = -(-L_pad // 128) * 128
     if L_pad != L:

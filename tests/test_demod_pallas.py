@@ -226,6 +226,33 @@ def test_dma_variant_fsk_nonzero_state():
     _assert_state_match(st_d, st_x)
 
 
+def test_shift_bound_eight_stages():
+    """The per-century start floors + sps-aware pos guard keep the
+    alignment-shift bound under 256 at every production configuration
+    (sps 10/20/40, up to the 32-century bench ladder) — 8 log-shifter
+    stages, down from 9 with the old fixed 128-backoff bound."""
+    from digiham_tpu.ops.demod_pallas import (_century_start, _shift_bound,
+                                              pos_guard)
+
+    assert pos_guard(10) == 32 and pos_guard(20) == 64 and pos_guard(40) == 96
+    # 8 stages at the production block shapes: DMR/YSF/D-Star sps=10 up
+    # to the 32-century bench ladder, NXDN sps=20, POCSAG sps=40 (short
+    # blocks — 1200 bit/s needs few centuries per step)
+    for sps, nc_max in ((10, 32), (20, 32), (40, 16)):
+        assert _shift_bound(nc_max, sps).bit_length() <= 8, (sps, nc_max)
+    # the floor is a lower bound on every reachable pos and the worst
+    # forward case stays within the bound, for ALL shapes
+    for sps in (10, 20, 40):
+        n = 100 * sps
+        for nc in (2, 8, 16, 32):
+            bound = _shift_bound(nc, sps)
+            for c in range(nc):
+                assert _century_start(c, n) <= max(0, c * n - c)
+                assert _century_start(c, n) % 128 == 0
+                worst = (pos_guard(sps) - 1 + c * n + c) - _century_start(c, n)
+                assert worst <= bound, (sps, nc, c)
+
+
 def test_pick_tile_dma_lifts_cap():
     """The DMA restructure makes the VMEM footprint independent of the
     block length, so the auto tile reaches 128 where the resident

@@ -1,0 +1,58 @@
+#!/bin/bash
+# First-session-back hardware recertification (VERDICT round-2 item 1).
+#
+# Runs the ordered checklist from docs/ROADMAP.md item 2 under the
+# DEFAULT axon env, one log per step under /tmp/hw_recert/, skipping
+# steps that already completed (marker files) so a flapping tunnel can
+# resume where it left off. Run it the moment /tmp/tunnel_status.log
+# shows an OK probe:
+#
+#   bash tools/hw_recert.sh            # full checklist
+#   bash tools/hw_recert.sh bench      # just one step by name
+#
+# Steps (order matters — bench.py first so the driver-visible headline
+# exists even if the tunnel dies mid-checklist):
+#   bench        bench.py attempt ladder (headline + floor probe)
+#   smoke        tools/tpu_smoke.py — all 5 protocols + viterbi parity
+#   ser          tools/tpu_ser_equiv.py — precision envelope of the kernels
+#   protocols    tools/bench_protocols.py — per-protocol fused throughput
+#   trellis      tools/bench_trellis.py — floor-subtracted Viterbi A/B
+#   demod        tools/bench_demod_pallas.py — resident vs DMA kernel A/B
+#   multistream  tools/bench_multistream.py — dispatch overlap probe
+#   meshsoak     SOAK_MESH=1 tools/tpu_soak.py — mesh-bank datapoint
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=/tmp/hw_recert
+mkdir -p "$LOGDIR"
+export PYTHONPATH="$PWD:$PWD/tests"
+
+run_step() {
+  local name="$1" tmo="$2"; shift 2
+  local marker="$LOGDIR/$name.done" log="$LOGDIR/$name.log"
+  if [ -f "$marker" ]; then echo "== $name: already done (rm $marker to redo)"; return 0; fi
+  echo "== $name: running (timeout ${tmo}s) -> $log"
+  if timeout "$tmo" "$@" > "$log" 2>&1; then
+    touch "$marker"; echo "== $name: OK"; tail -n 3 "$log" | sed 's/^/   /'
+  else
+    echo "== $name: FAILED rc=$? (tunnel flap? re-run to resume)"; tail -n 5 "$log" | sed 's/^/   /'
+  fi
+}
+
+want="${1:-all}"
+step() { [ "$want" = all ] || [ "$want" = "$1" ]; }
+
+step bench       && run_step bench       3000 python bench.py
+step smoke       && run_step smoke       2400 python tools/tpu_smoke.py
+step ser         && run_step ser         1800 python tools/tpu_ser_equiv.py
+step protocols   && run_step protocols   3000 python tools/bench_protocols.py
+step trellis     && run_step trellis     1800 python tools/bench_trellis.py
+step demod       && run_step demod       1800 env BENCH_ONLY=floor,xla,pallas,pallas-dma BENCH_TILE=32 BENCH_DMA_TILE=64 python tools/bench_demod_pallas.py
+step multistream && run_step multistream 1200 python tools/bench_multistream.py
+step meshsoak    && run_step meshsoak    1800 env SOAK_MESH=1 SOAK_FRAMES=200 python tools/tpu_soak.py
+
+echo "== summary =="
+for f in "$LOGDIR"/*.log; do
+  n=$(basename "$f" .log)
+  [ -f "$LOGDIR/$n.done" ] && s=OK || s=PENDING/FAIL
+  echo "$n: $s"
+done

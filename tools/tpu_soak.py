@@ -33,7 +33,16 @@ dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
 base = np.repeat(dibits_levels := (np.array([1.,3.,-1.,-3.])/3)[dibits], 10) * 1000
 pipe = DmrPipeline(channels=C, sps=10, n_centuries=8)
 outputs = {c: b"" for c in range(C)}
-bank = TrackedChannelBank(pipe, on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d))
+# SOAK_MESH=1: run the bank's device calls through the GSPMD mesh path
+# (impl="gspmd" step + sharded frame-field decode) over all visible
+# devices — the VERDICT round-2 item-7 hardware datapoint (a 1-device
+# mesh still exercises the GSPMD program + sharded state placement)
+mesh = None
+if os.environ.get("SOAK_MESH"):
+    from digiham_tpu.parallel import make_mesh
+    mesh = make_mesh(n_channel_shards=len(jax.devices()), n_time_shards=1)
+    print(f"mesh bank: {len(jax.devices())} device(s), impl=gspmd")
+bank = TrackedChannelBank(pipe, on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d), mesh=mesh)
 blocks = 0
 t0 = time.perf_counter()
 L = base.shape[0]
