@@ -41,15 +41,21 @@ import time
 import numpy as np
 
 
-# (unroll, centuries, subprocess timeout s): the ladder exists because
-# the remote compiler has failed on very large unrolled programs
-# (observed: 128 x 16-century pipeline steps > 60 min; one tile=64
-# kernel config crashed the compile helper outright). Each attempt runs
-# in a subprocess with a hard timeout; the first success wins. Smaller
-# unrolls carry a larger serialized-dispatch floor (~RTT/unroll), so
-# the ladder is ordered most-honest-first. A completed server-side
-# compile is cached, so a retry after a timeout often starts warm.
-ATTEMPTS = [(128, 16, 2400), (64, 32, 1500), (32, 16, 1200)]
+# (unroll, centuries, subprocess timeout s, extra env): the ladder
+# exists because the remote compiler has failed on very large unrolled
+# programs (observed: 128 x 16-century pipeline steps > 60 min; one
+# tile=64 kernel config crashed the compile helper outright). Each
+# attempt runs in a subprocess with a hard timeout; the first success
+# wins. Smaller unrolls carry a larger serialized-dispatch floor
+# (~RTT/unroll), so the ladder is ordered most-honest-first. A completed
+# server-side compile is cached, so a retry after a timeout often starts
+# warm. The third rung retries the honest unroll with the ANY-memory DMA
+# demod kernel (DIGIHAM_DEMOD_DMA=1, bit-exact twin): its VMEM footprint
+# is independent of block length, so it may compile where the resident
+# kernel's giant unrolled program crashes the remote helper.
+ATTEMPTS = [(128, 16, 2400, {}), (64, 32, 1500, {}),
+            (128, 16, 1500, {"DIGIHAM_DEMOD_DMA": "1"}),
+            (32, 16, 1200, {})]
 
 
 def _fail_json(kind: str, detail: str) -> None:
@@ -99,16 +105,21 @@ def orchestrate() -> int:
     pinned = bool(os.environ.get("BENCH_UNROLL")
                   or os.environ.get("BENCH_CENTURIES"))
     attempts = ATTEMPTS[:1] if pinned else ATTEMPTS
-    if os.environ.get("BENCH_LADDER"):  # testing: "u,c,t;u,c,t;..."
-        attempts = [tuple(int(v) for v in a.split(","))
+    if os.environ.get("BENCH_LADDER"):  # testing: "u,c,t[,K=V];..."
+        def _parse(a):
+            parts = a.split(",")
+            extra = dict(kv.split("=", 1) for kv in parts[3:])
+            return (int(parts[0]), int(parts[1]), int(parts[2]), extra)
+        attempts = [_parse(a)
                     for a in os.environ["BENCH_LADDER"].split(";")]
-    for unroll, cent, limit in attempts:
+    for unroll, cent, limit, extra in attempts:
         env = dict(os.environ,
                    BENCH_ATTEMPT="1",
                    BENCH_UNROLL=os.environ.get("BENCH_UNROLL",
                                                str(unroll)),
                    BENCH_CENTURIES=os.environ.get("BENCH_CENTURIES",
-                                                  str(cent)))
+                                                  str(cent)),
+                   **extra)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -300,6 +311,8 @@ def main():
         "rep_checksums": checks,
         "backend": jax.devices()[0].platform,
     }
+    if os.environ.get("DIGIHAM_DEMOD_DMA"):
+        result["demod_dma"] = True  # which ladder rung produced this
     print(json.dumps(result))
 
 

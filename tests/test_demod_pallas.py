@@ -156,6 +156,36 @@ def test_pallas_under_shard_map():
     _assert_state_match(DemodState(pos, off, ring), st_x)
 
 
+def test_dma_under_shard_map():
+    """dma=True composes with shard_map channel sharding exactly like
+    the resident kernel (the mesh-bank topology runs Pallas per-shard)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from digiham_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(33)
+    channels, n_cent, sps = 16, 2, 10
+    sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, 0.07))
+    st = demod_init(channels)
+    want, st_x = gfsk_demod_block(sig, st, n_cent, sps)
+    mesh = make_mesh(n_channel_shards=2, n_time_shards=1)
+
+    def shard_fn(x, pos, off, ring):
+        d, s = pallas_demod_block(
+            x, DemodState(pos, off, ring), n_cent, sps, mode="gfsk",
+            interpret=True, dma=True)
+        return d, s.pos, s.offset, s.volume_ring
+
+    f = jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P("channel"),) * 4,
+                      out_specs=(P("channel"),) * 4,
+                      check_vma=False)
+    got, pos, off, ring = f(sig, st.pos, st.offset, st.volume_ring)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    _assert_state_match(DemodState(pos, off, ring), st_x)
+
+
 def test_auto_dispatch_guard():
     """_demod_block_auto: Pallas branch for in-range pos, XLA fallback
     branch past the shift bound — both match the plain XLA path."""
