@@ -192,6 +192,43 @@ def smoke_viterbi():
     return all(checks), f"bit-identical (T=100, T=30 blocked): {checks}"
 
 
+def smoke_demod_dma():
+    """On-hardware resident-vs-DMA demod kernel parity: the ANY-memory
+    double-buffered staging (dma=True — bench ladder rung 3, tile up to
+    128) must be BIT-identical to the resident kernel on real Mosaic
+    DMAs, not just in interpret mode, across tiles and a warm state."""
+    import jax.numpy as jnp
+
+    from digiham_tpu.dsp.demod import DemodState, demod_init
+    from digiham_tpu.ops.demod_pallas import pallas_demod_block
+
+    rng = np.random.default_rng(9)
+    C, n_cent, sps = 64, 8, 10
+    levels = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+    tx = rng.integers(0, 4, (C, n_cent * 100 + 8))
+    sig = np.repeat(levels[tx], sps, axis=-1) * 1000
+    sig = (sig + rng.normal(0, 80, sig.shape)).astype(np.float32)
+    sig = jnp.asarray(sig)
+    st = DemodState(
+        pos=jnp.asarray(rng.integers(0, 9, C).astype(np.int32)),
+        offset=jnp.asarray(rng.integers(-1, 2, C).astype(np.int32)),
+        volume_ring=demod_init(C).volume_ring)
+    d_r, s_r = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                  tile=32)
+    checks = []
+    for tile in (32, 64):
+        d_d, s_d = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
+                                      tile=tile, dma=True)
+        checks.append(bool(
+            np.array_equal(np.asarray(d_d), np.asarray(d_r))
+            and np.array_equal(np.asarray(s_d.pos), np.asarray(s_r.pos))
+            and np.array_equal(np.asarray(s_d.offset),
+                               np.asarray(s_r.offset))
+            and np.array_equal(np.asarray(s_d.volume_ring),
+                               np.asarray(s_r.volume_ring))))
+    return all(checks), f"bit-identical (dma tile 32, 64): {checks}"
+
+
 def main(only=None):
     import jax
     try:
@@ -202,7 +239,7 @@ def main(only=None):
     print("backend:", jax.devices()[0].platform, flush=True)
     cases = {"dmr": smoke_dmr, "ysf": smoke_ysf, "nxdn": smoke_nxdn,
              "dstar": smoke_dstar, "pocsag": smoke_pocsag,
-             "viterbi": smoke_viterbi}
+             "viterbi": smoke_viterbi, "demod_dma": smoke_demod_dma}
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
     failed = []
