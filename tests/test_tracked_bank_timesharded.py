@@ -171,3 +171,129 @@ def test_timesharded_bank_flush_only_tail(mesh):
         assert out_s[c] == out_p[c]
         assert "".join(meta_s[c]) == "".join(meta_p[c])
     assert any(len(v) > 0 for v in out_p.values())
+
+
+def _run_parity(mesh, samples, make_sharded, make_plain,
+                expect_meta=True):
+    """Push the same sample stream through the time-sharded and the
+    unsharded tracker banks; bytes and metadata must be identical.
+    expect_meta=False for POCSAG, which has no MetaCollector by design
+    (messages serialize into the main output — reference
+    pocsag_decoder/message.cpp:17-24)."""
+    results = {}
+    for sharded in (False, True):
+        outputs = {c: b"" for c in range(C)}
+        on_out = lambda c, d: outputs.__setitem__(c, outputs[c] + d)
+        bank = make_sharded(on_out) if sharded else make_plain(on_out)
+        if sharded:
+            assert samples.shape[1] > bank.pipeline.block_len + 2000
+        metas = []
+        for c in range(C):
+            events = []
+            bank.set_meta_writer(c, PipelineMetaWriter(
+                lambda b, ev=events: ev.append(b.decode())))
+            metas.append(events)
+        for lo in range(0, samples.shape[1], 8192):
+            bank.push(samples[:, lo:lo + 8192])
+        bank.flush()
+        results[sharded] = (dict(outputs), ["".join(e) for e in metas])
+    assert results[True] == results[False]
+    assert any(len(v) > 0 for v in results[False][0].values())
+    if expect_meta:
+        assert any(len(m) > 0 for m in results[False][1])
+
+
+def test_timesharded_bank_ysf_equals_unsharded(mesh):
+    """YSF (4FSK wide-RRC, 480-dibit frames) through the time-sharded
+    tracker bank: byte/event parity incl. FICH cache + DCH metadata."""
+    from digiham_tpu.pipeline import YsfPipeline
+    from digiham_tpu.runtime.tracked_bank import YsfAdapter
+    from ysf_synth import header_frame, terminator_frame, vd2_frame
+
+    rng = np.random.default_rng(11)
+    parts = [rng.integers(0, 4, 60),
+             header_frame(b"DEST", b"SRC ", b"DOWN", b"UP  ")]
+    for i in range(24):
+        parts.append(vd2_frame(i % 8, b"TSHARDYSF "))
+    parts.append(terminator_frame())
+    parts.append(np.zeros(400, np.uint8))
+    dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    base = np.repeat(LEVELS[dibits], 10) * 1000
+    samples = np.stack([base + rng.normal(0, 40, base.shape)
+                        for _ in range(C)]).astype(np.float32)
+
+    _run_parity(
+        mesh, samples,
+        lambda cb: TimeShardedTrackedBank(
+            TimeShardedPipeline(mesh, channels=C, protocol="ysf"),
+            adapter=YsfAdapter(), on_output=cb),
+        lambda cb: TrackedChannelBank(
+            YsfPipeline(channels=C, sps=10, n_centuries=5),
+            adapter=YsfAdapter(), on_output=cb))
+
+
+def test_timesharded_bank_nxdn_equals_unsharded(mesh):
+    """NXDN (4FSK narrow-RRC halo, sps=20) through the time-sharded
+    tracker bank: SACCH superframe + VCALL metadata parity."""
+    from digiham_tpu.pipeline import NxdnPipeline
+    from digiham_tpu.runtime.tracked_bank import NxdnAdapter
+    from nxdn_synth import (encode_sacch_unit, nxdn_frame,
+                            vcall_superframe_bytes, voice_slot_dibits)
+
+    rng = np.random.default_rng(13)
+    units = vcall_superframe_bytes(1, 1234, 5678)
+    payload = rng.integers(0, 4, 72).astype(np.uint8)
+    parts = [rng.integers(0, 4, 80)]
+    for i in range(22):
+        slots = [voice_slot_dibits(payload, 38),
+                 voice_slot_dibits(payload, 38 + 72)]
+        parts.append(nxdn_frame((0b01, 0b10, 0b11),
+                                encode_sacch_unit(i % 4, units[i % 4]),
+                                slots))
+    parts.append(np.zeros(300, np.uint8))
+    dibits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    base = np.repeat(LEVELS[dibits], 20) * 1000
+    samples = np.stack([base + rng.normal(0, 40, base.shape)
+                        for _ in range(C)]).astype(np.float32)
+
+    _run_parity(
+        mesh, samples,
+        lambda cb: TimeShardedTrackedBank(
+            TimeShardedPipeline(mesh, channels=C, protocol="nxdn"),
+            adapter=NxdnAdapter(), on_output=cb),
+        lambda cb: TrackedChannelBank(
+            NxdnPipeline(channels=C, sps=20, n_centuries=3),
+            adapter=NxdnAdapter(), on_output=cb))
+
+
+def test_timesharded_bank_pocsag_equals_unsharded(mesh):
+    """POCSAG (inverted 2FSK, sps=40, bit domain, serialized-to-stdout
+    output) through the time-sharded tracker bank."""
+    from digiham_tpu.pipeline import FskPipeline
+    from digiham_tpu.runtime.tracked_bank import PocsagAdapter
+    from test_pocsag import (address_codeword, alpha_payloads,
+                             build_stream, data_codeword)
+
+    rng = np.random.default_rng(17)
+    parts = [np.zeros(100, np.uint8)]
+    for m in range(8):
+        cws = [address_codeword(1000 + m, 3)]
+        cws += [data_codeword(p)
+                for p in alpha_payloads(f"TSHARD MSG {m}")]
+        parts.append(build_stream(cws))
+        parts.append(np.zeros(120, np.uint8))
+    bits = np.concatenate([np.asarray(p, np.uint8) for p in parts])
+    levels = np.array([1.0, -1.0], np.float32)  # inverted mapping
+    base = np.repeat(levels[bits], 40) * 1000
+    samples = np.stack([base + rng.normal(0, 60, base.shape)
+                        for _ in range(C)]).astype(np.float32)
+
+    _run_parity(
+        mesh, samples,
+        lambda cb: TimeShardedTrackedBank(
+            TimeShardedPipeline(mesh, channels=C, protocol="pocsag"),
+            adapter=PocsagAdapter(), on_output=cb),
+        lambda cb: TrackedChannelBank(
+            FskPipeline(channels=C, protocol="pocsag", n_centuries=2),
+            adapter=PocsagAdapter(), on_output=cb),
+        expect_meta=False)
