@@ -296,6 +296,33 @@ def test_pick_tile_dma_lifts_cap():
     assert pick_tile(8, L, 16, 10, dma=True) == 8
 
 
+def test_auto_dispatch_dma_env(monkeypatch):
+    """DIGIHAM_DEMOD_DMA=1 routes the auto dispatch through the DMA
+    kernel — both the hot branch and the out-of-guard rebase cold
+    branch still match the XLA path."""
+    from digiham_tpu.dsp.demod import _demod_block_auto, _demod_block_xla
+    from digiham_tpu.ops.demod_pallas import pos_guard
+
+    monkeypatch.setenv("DIGIHAM_DEMOD_DMA", "1")
+    rng = np.random.default_rng(8)
+    channels, n_cent, sps = 8, 2, 10
+    far = pos_guard(sps)
+    sig = _gfsk_sig(rng, channels, n_cent * 100 + 8, sps, 0.05)
+    sig = np.concatenate(
+        [np.zeros((channels, far), np.float32), sig], axis=-1)
+    sig = jnp.asarray(sig)
+    for pos0 in (4, far + 4):
+        st = DemodState(
+            pos=jnp.full((channels,), pos0, jnp.int32),
+            offset=jnp.zeros((channels,), jnp.int32),
+            volume_ring=jnp.zeros((channels, 100), jnp.float32))
+        want, st_x = _demod_block_xla(sig, st, n_cent, sps, "gfsk", False)
+        got, st_a = _demod_block_auto(sig, st, n_cent, sps, "gfsk", False,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        _assert_state_match(st_a, st_x)
+
+
 def test_nonzero_start_state():
     """Nonzero pos / pending slew / warm volume ring carried in."""
     rng = np.random.default_rng(11)
