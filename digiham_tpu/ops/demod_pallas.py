@@ -73,11 +73,13 @@ def pos_guard(sps: int) -> int:
     """Hot-path bound on the block-relative start position: the dispatch
     rebases rows with pos >= this (cold branch). Streaming drivers rebase
     pos below ~2*sps each block and the time-sharded step enters at
-    pos < 2*drift_budget (default 48), so an sps-aware guard keeps both
-    hot while shaving a log-shifter stage: a tighter guard pulls the
-    total shift bound under 256 (8 stages instead of 9)."""
-    for g in (32, 64, 96, 128):
-        if g >= 2 * sps + 8:
+    pos < 2*drift_budget (default 2*24 = 48 — covered by the floor of
+    56 below; a raised drift_budget > 28 falls to the correct-but-slow
+    rebase branch), so an sps-aware guard keeps both hot while shaving
+    a log-shifter stage: a tighter guard pulls the total shift bound
+    under 256 (8 stages instead of 9)."""
+    for g in (64, 96, 128):
+        if g >= max(2 * sps, 48) + 8:
             return g
     return POS_GUARD
 
@@ -138,7 +140,8 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
                     + 2 * t * n_centuries * 128 * 4)
             if C % t == 0 and need <= budget:
                 return t
-        return next(t for t in (128, 64, 32, 16, 8) if C % t == 0)
+        # nothing fits: take the SMALLEST dividing tile (least VMEM)
+        return next(t for t in (8, 16, 32, 64, 128) if C % t == 0)
     # scoped VMEM is 16 MB and Mosaic double-buffers the grid-varying
     # input and output blocks; the selection matrices add ~0.9 MB.
     # Auto-pick caps at 32: tile=64/128 kernels compile standalone but
@@ -150,7 +153,8 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
         need = 2 * t * L_pad * 4 + 2 * t * n_centuries * 128 * 4
         if C % t == 0 and need <= budget:
             return t
-    return next(t for t in (32, 16, 8) if C % t == 0)
+    # nothing fits: take the SMALLEST dividing tile (least VMEM)
+    return next(t for t in (8, 16, 32) if C % t == 0)
 
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,

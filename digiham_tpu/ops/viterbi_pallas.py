@@ -77,6 +77,9 @@ def _constants(num_states: int, blocked_steps: int):
 
 
 def _make_kernel(T: int, num_states: int, blocked_steps: int):
+    # a sequence shorter than the peel count peels only T steps (the
+    # XLA scan's min(blocked_steps, T) contract — OOB otherwise)
+    blocked_steps = min(blocked_steps, T)
     from jax.experimental import pallas as pl
 
     S = num_states

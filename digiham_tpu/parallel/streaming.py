@@ -345,6 +345,34 @@ class TimeShardedPipeline:
         new_state = jax.tree.map(lambda a: a[:, 0], st_cols)
         return out, new_state
 
+    def iter_blocks(self, buffer):
+        """Fixed-stride block iterator over a ``SampleBuffer`` — the ONE
+        encoding of the halo/consume contract shared by both production
+        drivers (TimeShardedStream and TimeShardedTrackedBank): while a
+        full block plus halos is buffered, yield ``(body, edges)``
+        device arrays, then consume ``block_len`` when the caller
+        resumes (i.e. after it has stepped and drift-checked)."""
+        need = self.h_left + self.block_len + self.h_right
+        while buffer.fill >= need:
+            view = buffer.view(need)
+            body = jnp.asarray(
+                view[:, self.h_left:self.h_left + self.block_len])
+            edges = jnp.asarray(np.concatenate(
+                [view[:, :self.h_left],
+                 view[:, self.h_left + self.block_len:]], axis=1))
+            yield body, edges
+            buffer.consume(self.block_len)
+
+    def check_drift(self, state) -> None:
+        """The carried pos must stay inside the halo budget the sharded
+        layout reserved."""
+        pos = np.asarray(state.pos)
+        if np.abs(pos).max() >= self.drift_budget:
+            raise RuntimeError(
+                f"timing drift {pos.min()}..{pos.max()} exceeded the "
+                f"halo budget ±{self.drift_budget}; raise drift_budget "
+                "or re-acquire")
+
 
 class TimeShardedDmrPipeline(TimeShardedPipeline):
     """Backward-compatible DMR-specific entry point."""
@@ -381,22 +409,10 @@ class TimeShardedStream:
         p = self.p
         self.buffer.push(samples)
         outs = []
-        need = p.h_left + p.block_len + p.h_right
-        while self.buffer.fill >= need:
-            view = self.buffer.view(need)
-            body = jnp.asarray(view[:, p.h_left:p.h_left + p.block_len])
-            edges = jnp.asarray(np.concatenate(
-                [view[:, :p.h_left], view[:, p.h_left + p.block_len:]],
-                axis=1))
+        for body, edges in p.iter_blocks(self.buffer):
             out, self.state = p.step(body, edges, self.state)
-            pos = np.asarray(self.state.pos)
-            if np.abs(pos).max() >= p.drift_budget:
-                raise RuntimeError(
-                    f"timing drift {pos.min()}..{pos.max()} exceeded the "
-                    f"halo budget ±{p.drift_budget}; raise drift_budget "
-                    "or re-acquire")
+            p.check_drift(self.state)
             outs.append(out)
-            self.buffer.consume(p.block_len)
         return outs
 
 

@@ -103,14 +103,17 @@ class NxdnPipeline:
         return outputs, NxdnPipelineState(rrc_state, demod_state)
 
 
-@jax.jit
-def decode_sacch_batch(sacch_dibits: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def decode_sacch_batch(sacch_dibits: jnp.ndarray, impl: str = "auto"):
     """[..., 30] descrambled-domain raw SACCH dibits (pre-descramble, in-
-    frame offset 8) -> (structure_index, payload_bits [..., 18], ok)."""
+    frame offset 8) -> (structure_index, payload_bits [..., 18], ok).
+    ``impl``: "auto" allows the Pallas Viterbi on TPU; anything else
+    pins the XLA scan (required under GSPMD auto-partitioning)."""
     d = _descramble(sacch_dibits.astype(jnp.int32), 8)
     bits60 = _bits_from_dibits(d)
     dei = bits60[..., jnp.asarray(interleave.nxdn_sacch())]
-    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_sacch())
+    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_sacch(),
+                                   impl=impl)
     crc = crc6_nxdn(26).compute(decoded[..., :26])
     w6 = jnp.asarray([1 << (5 - i) for i in range(6)], jnp.int32)
     received = jnp.sum(decoded[..., 26:32] * w6, axis=-1)
@@ -119,8 +122,8 @@ def decode_sacch_batch(sacch_dibits: jnp.ndarray):
     return structure, decoded[..., 8:26], ok
 
 
-@jax.jit
-def nxdn_decode_frames(frames: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def nxdn_decode_frames(frames: jnp.ndarray, impl: str = "auto"):
     """[..., 192] frame dibits -> field dict for the tracked bank:
     sync distance, LICH byte/ok, SACCH unit, per-slot packed voice bytes
     and FACCH1 message type/ok (both slots decoded; the host steal-flag
@@ -139,7 +142,7 @@ def nxdn_decode_frames(frames: jnp.ndarray):
     lich_byte = jnp.sum(lich_bits[..., :7] * w7, axis=-1)
 
     sacch_structure, sacch_bits, sacch_ok = decode_sacch_batch(
-        d[..., 18:48])
+        d[..., 18:48], impl=impl)
 
     voice = []
     facch_mtype = []
@@ -151,7 +154,8 @@ def nxdn_decode_frames(frames: jnp.ndarray):
               | (quads[..., 2] << 2) | quads[..., 3])
         voice.append(by.astype(jnp.uint8))
         mt, ok = decode_facch1_batch(
-            d[..., 48 + 72 * i:120 + 72 * i], offset=38 + 72 * i)
+            d[..., 48 + 72 * i:120 + 72 * i], offset=38 + 72 * i,
+            impl=impl)
         facch_mtype.append(mt)
         facch_ok.append(ok)
 
@@ -168,13 +172,15 @@ def nxdn_decode_frames(frames: jnp.ndarray):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("offset",))
-def decode_facch1_batch(slot_dibits: jnp.ndarray, offset: int = 38):
+@functools.partial(jax.jit, static_argnames=("offset", "impl"))
+def decode_facch1_batch(slot_dibits: jnp.ndarray, offset: int = 38,
+                        impl: str = "auto"):
     """[..., 72] raw slot dibits -> (message_type, ok)."""
     d = _descramble(slot_dibits.astype(jnp.int32), offset)
     bits144 = _bits_from_dibits(d)
     dei = bits144[..., jnp.asarray(interleave.nxdn_facch1())]
-    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_facch1())
+    decoded = _depunctured_viterbi(dei, interleave.depuncture_mask_facch1(),
+                                   impl=impl)
     crc = crc12_nxdn(80).compute(decoded[..., :80])
     w12 = jnp.asarray([1 << (11 - i) for i in range(12)], jnp.int32)
     received = jnp.sum(decoded[..., 80:92] * w12, axis=-1)

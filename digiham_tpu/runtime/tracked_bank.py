@@ -54,7 +54,9 @@ class DmrAdapter:
         t.set_slot_filter(slot_filter)
         return t
 
-    def decode_fields(self, frames: np.ndarray, jnp):
+    def decode_fields(self, frames: np.ndarray, jnp, impl: str = "auto"):
+        # DMR's frame decode has no Pallas dispatch below it; impl is
+        # accepted for the uniform adapter interface
         from ..pipeline.dmr import dmr_decode_frames
         fields = dmr_decode_frames(jnp.asarray(frames))
         host = {k: np.asarray(v) for k, v in fields.items()}
@@ -105,9 +107,11 @@ class YsfAdapter:
         from ..protocols.ysf.fields_phase import YsfFieldsFramePhase
         return YsfFieldsFramePhase(meta)
 
-    def decode_fields(self, frames: np.ndarray, jnp):
+    def decode_fields(self, frames: np.ndarray, jnp, impl: str = "auto"):
+        # impl="gspmd" (mesh bank) pins the FICH/DCH Viterbi to the XLA
+        # scan — GSPMD cannot auto-partition the Mosaic kernel
         from ..pipeline.ysf import ysf_decode_frames
-        fields = ysf_decode_frames(jnp.asarray(frames))
+        fields = ysf_decode_frames(jnp.asarray(frames), impl=impl)
         return {k: np.asarray(v) for k, v in fields.items()}
 
     def field_row(self, host: dict, row: int):
@@ -147,9 +151,11 @@ class NxdnAdapter:
         from ..protocols.nxdn.fields_phase import NxdnFieldsFramePhase
         return NxdnFieldsFramePhase(meta)
 
-    def decode_fields(self, frames: np.ndarray, jnp):
+    def decode_fields(self, frames: np.ndarray, jnp, impl: str = "auto"):
+        # impl="gspmd" (mesh bank) pins the SACCH/FACCH1 Viterbi to the
+        # XLA scan — GSPMD cannot auto-partition the Mosaic kernel
         from ..pipeline.nxdn import nxdn_decode_frames
-        fields = nxdn_decode_frames(jnp.asarray(frames))
+        fields = nxdn_decode_frames(jnp.asarray(frames), impl=impl)
         return {k: np.asarray(v) for k, v in fields.items()}
 
     def field_row(self, host: dict, row: int):
@@ -205,7 +211,7 @@ class DstarAdapter:
         from ..protocols.dstar.fields_phase import DstarFieldsFramePhase
         return DstarFieldsFramePhase(meta, locked)
 
-    def decode_fields(self, frames: np.ndarray, jnp):
+    def decode_fields(self, frames: np.ndarray, jnp, impl: str = "auto"):
         from ..pipeline.fsk import dstar_decode_frames
         fields = dstar_decode_frames(jnp.asarray(frames))
         return {k: np.asarray(v) for k, v in fields.items()}
@@ -254,7 +260,7 @@ class PocsagAdapter:
         from ..protocols.pocsag import PocsagFieldsFramePhase
         return PocsagFieldsFramePhase()
 
-    def decode_fields(self, frames: np.ndarray, jnp):
+    def decode_fields(self, frames: np.ndarray, jnp, impl: str = "auto"):
         from ..pipeline.fsk import pocsag_decode_frames
         fields = pocsag_decode_frames(jnp.asarray(frames))
         return {k: np.asarray(v) for k, v in fields.items()}
@@ -540,7 +546,9 @@ class TrackedChannelBank:
             import jax
             frames = jax.device_put(self._jnp.asarray(frames),
                                     self._shard(2))
-        host = self.adapter.decode_fields(frames, self._jnp)
+        host = self.adapter.decode_fields(
+            frames, self._jnp,
+            impl="gspmd" if self._shard is not None else "auto")
 
         fed = 0
         per_chan: dict[int, list[tuple[int, int]]] = {}
@@ -612,31 +620,18 @@ class TimeShardedTrackedBank(TrackedChannelBank):
             (self.channels, sharded_pipeline.h_left), np.float32))
 
     def push(self, samples: np.ndarray) -> None:
-        import jax.numpy as jnp
-
         p = self.pipeline
         if self.samples is None:
             raise RuntimeError("bank was flushed; create a new bank")
         self.samples.push(np.asarray(samples, np.float32))
-        need = p.h_left + p.block_len + p.h_right
-        while self.samples.fill >= need:
-            view = self.samples.view(need)
-            body = jnp.asarray(view[:, p.h_left:p.h_left + p.block_len])
-            edges = jnp.asarray(np.concatenate(
-                [view[:, :p.h_left], view[:, p.h_left + p.block_len:]],
-                axis=1))
+        for body, edges in p.iter_blocks(self.samples):
             with self._meter.measure(self.channels * p.block_len):
                 out, self.state = p.step(body, edges, self.state)
                 hits = self.adapter.block_hits(out) \
                     if hasattr(self.adapter, "block_hits") else None
                 self._consume_dibits(np.asarray(out["dibits"]), hits)
             self._registry.maybe_report()
-            pos = np.asarray(self.state.pos)
-            if np.abs(pos).max() >= p.drift_budget:
-                raise RuntimeError(
-                    f"timing drift {pos.min()}..{pos.max()} exceeded the "
-                    f"halo budget ±{p.drift_budget}")
-            self.samples.consume(p.block_len)
+            p.check_drift(self.state)
 
     def flush(self) -> None:
         """EOF parity with the parent: host-oracle the buffered tail.

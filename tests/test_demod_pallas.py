@@ -264,7 +264,16 @@ def test_shift_bound_eight_stages():
     from digiham_tpu.ops.demod_pallas import (_century_start, _shift_bound,
                                               pos_guard)
 
-    assert pos_guard(10) == 32 and pos_guard(20) == 64 and pos_guard(40) == 96
+    # the guard floor of 56 keeps the time-sharded entry (pos <
+    # 2*drift_budget = 48) on the hot path for every protocol
+    assert pos_guard(10) == 64 and pos_guard(20) == 64 and pos_guard(40) == 96
+    from digiham_tpu.parallel import streaming as _streaming
+    import inspect
+    default_budget = inspect.signature(
+        _streaming.TimeShardedPipeline.__init__
+    ).parameters["drift_budget"].default
+    for sps in (10, 20, 40):
+        assert pos_guard(sps) > 2 * default_budget
     # 8 stages at the production block shapes: DMR/YSF/D-Star sps=10 up
     # to the 32-century bench ladder, NXDN sps=20, POCSAG sps=40 (short
     # blocks — 1200 bit/s needs few centuries per step)

@@ -107,6 +107,11 @@ def _run_and_compare(protocol, n_time, use_rrc, n_steps, seed, cps=None):
     # use_rrc=False isolates the sharded carry chain, so compare against
     # an RRC-free single-device pipe only for protocols that support it
     if not use_rrc and cfg.design is not None:
+        # this RRC-free reference is only wired for DMR; extending
+        # carry-chain-isolation coverage to other protocols must add
+        # the matching single-device pipe here, not silently compare
+        # against the wrong decoder
+        assert protocol == "dmr", protocol
         want_pipe = DmrPipeline(channels=C, sps=10, n_centuries=cps,
                                 use_rrc=False)
         bank = ChannelBank(want_pipe, [None] * C)

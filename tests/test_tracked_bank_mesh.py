@@ -86,3 +86,40 @@ def test_snapshot_restore_on_mesh(mesh):
     bank2.push_dibits(streams[:, half:])
     for c in outputs:
         assert outputs[c][pre[c]:] == outputs2[c]
+
+
+def test_mesh_bank_pins_viterbi_off_pallas(mesh):
+    """The mesh bank's batched frame-field decode runs under GSPMD
+    (jit + NamedSharding), which cannot auto-partition Mosaic custom
+    calls — the bank must pass impl="gspmd" to the adapter so the
+    YSF/NXDN Viterbi inside decode_fields takes the XLA scan. A spy
+    adapter records the impl actually used on both paths."""
+    from digiham_tpu.pipeline import YsfPipeline
+    from digiham_tpu.runtime.tracked_bank import YsfAdapter
+
+    from ysf_synth import header_frame, vd2_frame
+
+    class SpyAdapter(YsfAdapter):
+        def __init__(self):
+            self.impls = []
+
+        def decode_fields(self, frames, jnp, impl="auto"):
+            self.impls.append(impl)
+            return super().decode_fields(frames, jnp, impl=impl)
+
+    rng = np.random.default_rng(2)
+    parts = [rng.integers(0, 4, 40),
+             header_frame(b"DEST", b"SRC ", b"DOWN", b"UP  ")]
+    for i in range(6):
+        parts.append(vd2_frame(i % 8, b"MESHIMPL  "))
+    dibits = np.stack([np.concatenate(
+        [np.asarray(p, np.uint8) for p in parts])] * 4)
+
+    for use_mesh, want in ((None, "auto"), (mesh, "gspmd")):
+        spy = SpyAdapter()
+        bank = TrackedChannelBank(
+            YsfPipeline(channels=4, sps=10, n_centuries=5),
+            adapter=spy, mesh=use_mesh)
+        bank.push_dibits(dibits)
+        assert spy.impls and set(spy.impls) == {want}, (use_mesh,
+                                                        spy.impls)

@@ -105,3 +105,15 @@ def test_forced_pallas_dispatch_matches(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(base[k]), np.asarray(forced[k]),
             err_msg=f"field {k}")
+
+
+def test_shorter_than_peel_window():
+    """T < blocked_steps must peel only T steps (the XLA scan's
+    min(blocked_steps, T) contract) — not read/write out of bounds."""
+    rng = np.random.default_rng(77)
+    for T in (1, 2, 3):
+        obs = rng.integers(0, 4, (5, T))
+        pb, pm = viterbi_decode_pallas(obs, 16, 4, interpret=True)
+        xb, xm = viterbi_decode(obs, 16, 4, impl="xla")
+        np.testing.assert_array_equal(np.asarray(pb), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(pm), np.asarray(xm))
