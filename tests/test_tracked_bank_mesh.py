@@ -123,3 +123,35 @@ def test_mesh_bank_pins_viterbi_off_pallas(mesh):
         bank.push_dibits(dibits)
         assert spy.impls and set(spy.impls) == {want}, (use_mesh,
                                                         spy.impls)
+
+
+def test_nxdn_mesh_equals_unsharded(mesh):
+    """NXDN mesh bank (narrow-RRC gspmd step + SACCH/FACCH1 Viterbi in
+    the batched field decode, routed impl=\"gspmd\") emits bytes and
+    events identical to the unsharded bank."""
+    from digiham_tpu.pipeline import NxdnPipeline
+    from digiham_tpu.runtime.tracked_bank import NxdnAdapter
+
+    from test_tracked_bank_nxdn import make_streams as nxdn_streams
+
+    streams = nxdn_streams(1, n_channels=4)
+
+    got = {}
+    for m in (None, mesh):
+        outputs = {c: b"" for c in range(4)}
+        bank = TrackedChannelBank(
+            NxdnPipeline(channels=4, sps=20, n_centuries=3),
+            adapter=NxdnAdapter(), mesh=m,
+            on_output=lambda c, d: outputs.__setitem__(
+                c, outputs[c] + d))
+        metas = []
+        for c in range(4):
+            events = []
+            bank.set_meta_writer(c, PipelineMetaWriter(
+                lambda b, ev=events: ev.append(b.decode())))
+            metas.append(events)
+        for lo in range(0, streams.shape[1], 800):
+            bank.push_dibits(streams[:, lo:lo + 800])
+        got[m is not None] = (dict(outputs), ["".join(e) for e in metas])
+    assert got[True] == got[False]
+    assert any(len(v) > 0 for v in got[False][0].values())
