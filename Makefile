@@ -26,5 +26,11 @@ smoke:
 warm-cache:
 	$(PYTHON) tools/warm_cli_cache.py
 
+recert:
+	bash tools/hw_recert.sh
+
+bench-cpu-ref:
+	$(PYTHON) tools/bench_cpu_vs_ref.py
+
 clean:
 	rm -rf $(WHEELDIR) build *.egg-info
