@@ -26,10 +26,25 @@ LOGDIR=/tmp/hw_recert
 mkdir -p "$LOGDIR"
 export PYTHONPATH="$PWD:$PWD/tests"
 
+probe_ok() {
+  # cheap backend liveness check between steps: if the tunnel flapped,
+  # abort the run early (every remaining tool would hang to its full
+  # timeout) and let the watcher relaunch on the next OK probe
+  timeout 150 python - <<'PY' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 128)); assert float((x @ x.T).sum()) > 0
+PY
+}
+
 run_step() {
   local name="$1" tmo="$2"; shift 2
   local marker="$LOGDIR/$name.done" log="$LOGDIR/$name.log"
   if [ -f "$marker" ]; then echo "== $name: already done (rm $marker to redo)"; return 0; fi
+  if ! probe_ok; then
+    echo "== $name: SKIPPED — backend probe failed (tunnel down?); aborting run"
+    rm -f /tmp/hw_recert_launched   # let the watcher relaunch + resume
+    exit 3
+  fi
   echo "== $name: running (timeout ${tmo}s) -> $log"
   if timeout "$tmo" "$@" > "$log" 2>&1; then
     touch "$marker"; echo "== $name: OK"; tail -n 3 "$log" | sed 's/^/   /'
