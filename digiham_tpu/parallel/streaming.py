@@ -345,13 +345,29 @@ class TimeShardedPipeline:
         new_state = jax.tree.map(lambda a: a[:, 0], st_cols)
         return out, new_state
 
-    def iter_blocks(self, buffer):
-        """Fixed-stride block iterator over a ``SampleBuffer`` — the ONE
-        encoding of the halo/consume contract shared by both production
-        drivers (TimeShardedStream and TimeShardedTrackedBank): while a
-        full block plus halos is buffered, yield ``(body, edges)``
-        device arrays, then consume ``block_len`` when the caller
-        resumes (i.e. after it has stepped and drift-checked)."""
+    def drive(self, buffer, state, step_fn):
+        """Run the block loop over every full buffered block — the ONE
+        encoding of the halo/consume/recenter contract shared by both
+        production drivers (TimeShardedStream and
+        TimeShardedTrackedBank). ``step_fn(body, edges, state) ->
+        (out, new_state)`` is the caller's device step plus any
+        per-block host work. Returns ``(outs, state)``.
+
+        Drift recentering: real streams carry clock skew (an SDR at
+        ±20 ppm slews the demod timing ~1 sample per 50 centuries), so
+        under a strictly fixed stride the carried ``pos`` would drift
+        WITHOUT BOUND and trip the budget within minutes — the
+        reference's variable per-symbol advance has no such bound
+        (fsk_demodulator.cpp:36-38). When the worst |pos| passes half
+        the budget, the common-mode drift (median over channels) is
+        folded back into the stream consumption — consume
+        ``block_len + delta`` and subtract delta from ``pos`` — i.e.
+        the unsharded driver's variable stride applied at block
+        granularity, changing nothing about which samples any symbol
+        reads. ``drift_budget`` then only has to cover the per-channel
+        SPREAD around the common clock (channels of one wideband SDR
+        share it), not the cumulative skew."""
+        outs = []
         need = self.h_left + self.block_len + self.h_right
         while buffer.fill >= need:
             view = buffer.view(need)
@@ -360,8 +376,18 @@ class TimeShardedPipeline:
             edges = jnp.asarray(np.concatenate(
                 [view[:, :self.h_left],
                  view[:, self.h_left + self.block_len:]], axis=1))
-            yield body, edges
-            buffer.consume(self.block_len)
+            out, state = step_fn(body, edges, state)
+            self.check_drift(state)
+            outs.append(out)
+            pos = np.asarray(state.pos)
+            delta = 0
+            if np.abs(pos).max() > self.drift_budget // 2:
+                delta = int(np.median(pos))
+            if delta:
+                state = DemodState(state.pos - delta, state.offset,
+                                   state.volume_ring)
+            buffer.consume(self.block_len + delta)
+        return outs, state
 
     def check_drift(self, state) -> None:
         """The carried pos must stay inside the halo budget the sharded
@@ -406,13 +432,9 @@ class TimeShardedStream:
                                   np.float32))
 
     def push(self, samples: np.ndarray) -> list[dict]:
-        p = self.p
         self.buffer.push(samples)
-        outs = []
-        for body, edges in p.iter_blocks(self.buffer):
-            out, self.state = p.step(body, edges, self.state)
-            p.check_drift(self.state)
-            outs.append(out)
+        outs, self.state = self.p.drive(self.buffer, self.state,
+                                        self.p.step)
         return outs
 
 

@@ -624,14 +624,17 @@ class TimeShardedTrackedBank(TrackedChannelBank):
         if self.samples is None:
             raise RuntimeError("bank was flushed; create a new bank")
         self.samples.push(np.asarray(samples, np.float32))
-        for body, edges in p.iter_blocks(self.samples):
+
+        def step_fn(body, edges, state):
             with self._meter.measure(self.channels * p.block_len):
-                out, self.state = p.step(body, edges, self.state)
+                out, state = p.step(body, edges, state)
                 hits = self.adapter.block_hits(out) \
                     if hasattr(self.adapter, "block_hits") else None
                 self._consume_dibits(np.asarray(out["dibits"]), hits)
             self._registry.maybe_report()
-            p.check_drift(self.state)
+            return out, state
+
+        _, self.state = p.drive(self.samples, self.state, step_fn)
 
     def flush(self) -> None:
         """EOF parity with the parent: host-oracle the buffered tail.

@@ -297,3 +297,44 @@ def test_timesharded_bank_pocsag_equals_unsharded(mesh):
             FskPipeline(channels=C, protocol="pocsag", n_centuries=2),
             adapter=PocsagAdapter(), on_output=cb),
         expect_meta=False)
+
+
+def test_timesharded_bank_clock_skew_recentering(mesh):
+    """Real streams carry clock skew; the fixed-stride time-sharded
+    drivers fold the common-mode drift back into the stream consumption
+    (block-granular variable stride). A +0.05% skewed stream whose
+    cumulative drift (~80 samples) far exceeds the ±24 halo budget must
+    decode byte/event-identically to the unsharded bank — and the
+    carried pos must stay recentered instead of tripping the budget.
+
+    (Skew accrued WITHIN one device block must fit the halo: at the
+    default budget 24 and 72-century blocks that is ~160 ppm — real
+    SDR clocks are ±20 ppm. 150 ppm here is ~7x a typical SDR.)"""
+    samples = _samples(21, n_frames=240, noise=30.0)
+    skew = 1.5e-4  # 150 ppm: ~0.15 samples/century, ~11/block
+    n = samples.shape[1]
+    t = np.arange(int(n / (1 + skew))) * (1 + skew)
+    skewed = np.stack([np.interp(t, np.arange(n), samples[c])
+                       for c in range(C)]).astype(np.float32)
+
+    bank_s, out_s, meta_s = _sharded_bank(mesh)
+    bank_p, out_p, meta_p = _plain_bank()
+    for lo in range(0, skewed.shape[1], 8192):
+        bank_s.push(skewed[:, lo:lo + 8192])
+        bank_p.push(skewed[:, lo:lo + 8192])
+    # the device path stepped at least twice and the carry stayed
+    # recentered (cumulative skew ~0.0005 * len >> budget 24)
+    assert skewed.shape[1] > 2 * bank_s.pipeline.block_len
+    # cumulative skew (~0.15 * 345 centuries ~ 50) far exceeds the ±24
+    # budget, so surviving WITHOUT tripping check_drift proves the
+    # recentering folded the common-mode drift into the stream stride
+    assert skew * skewed.shape[1] > bank_s.pipeline.drift_budget
+    assert int(np.abs(np.asarray(bank_s.state.pos)).max()) < \
+        bank_s.pipeline.drift_budget
+    bank_s.flush()
+    bank_p.flush()
+    for c in range(C):
+        assert out_s[c] == out_p[c], f"ch{c} payload diverges"
+        assert "".join(meta_s[c]) == "".join(meta_p[c]), \
+            f"ch{c} metadata diverges"
+    assert any(len(v) > 0 for v in out_p.values())
