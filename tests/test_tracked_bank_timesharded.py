@@ -338,3 +338,28 @@ def test_timesharded_bank_clock_skew_recentering(mesh):
         assert "".join(meta_s[c]) == "".join(meta_p[c]), \
             f"ch{c} metadata diverges"
     assert any(len(v) > 0 for v in out_p.values())
+
+
+def test_timesharded_snapshot_restore_under_skew(mesh):
+    """snapshot()/restore() mid-stream WHILE drift recentering is
+    active: the restored bank must continue byte-identically (the
+    variable block stride is a pure function of buffer + carry)."""
+    samples = _samples(23, n_frames=200, noise=30.0)
+    skew = 1.5e-4
+    n = samples.shape[1]
+    t = np.arange(int(n / (1 + skew))) * (1 + skew)
+    skewed = np.stack([np.interp(t, np.arange(n), samples[c])
+                       for c in range(C)]).astype(np.float32)
+
+    bank, outputs, metas = _sharded_bank(mesh)
+    half = (skewed.shape[1] // 2) // 512 * 512
+    bank.push(skewed[:, :half])
+    blob = bank.snapshot()
+
+    bank2, outputs2, metas2 = _sharded_bank(mesh)
+    bank2.restore(blob)
+    pre = {c: len(outputs[c]) for c in outputs}
+    bank.push(skewed[:, half:])
+    bank2.push(skewed[:, half:])
+    for c in outputs:
+        assert outputs[c][pre[c]:] == outputs2[c]
