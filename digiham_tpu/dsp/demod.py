@@ -241,6 +241,10 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
     # default stays the resident kernel until the hardware A/B
     # (tools/bench_demod_pallas.py --dma) shows a win.
     dma = bool(env_flag("DIGIHAM_DEMOD_DMA"))
+    # DIGIHAM_DEMOD_FUSED_STATS=1: one column-packed selection matmul
+    # per century instead of three — bitwise identical; default off
+    # pending the same hardware A/B
+    fused_stats = bool(env_flag("DIGIHAM_DEMOD_FUSED_STATS"))
     # largest VMEM-safe channel tile that divides the bank (wider tiles
     # measured faster at 256ch: bigger selection matmuls, fewer grid steps)
     tile = pick_tile(C, L, n_centuries, sps, dma=dma)
@@ -249,7 +253,8 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
         samples, state = args
         return pallas_demod_block(samples, state, n_centuries, sps,
                                   mode=mode, invert=invert, tile=tile,
-                                  interpret=interpret, dma=dma)
+                                  interpret=interpret, dma=dma,
+                                  fused_stats=fused_stats)
 
     def rebase_branch(args):
         # per-channel dynamic-slice rebase (scalar-core gather — fine on
@@ -264,7 +269,8 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
                          state.volume_ring)
         dib, st1 = pallas_demod_block(rows, st0, n_centuries, sps,
                                       mode=mode, invert=invert, tile=tile,
-                                      interpret=interpret, dma=dma)
+                                      interpret=interpret, dma=dma,
+                                      fused_stats=fused_stats)
         return dib, DemodState(st1.pos + shift, st1.offset,
                                st1.volume_ring)
 
