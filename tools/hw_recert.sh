@@ -56,7 +56,9 @@ run_step() {
 want="${1:-all}"
 step() { [ "$want" = all ] || [ "$want" = "$1" ]; }
 
-step bench       && run_step bench       3000 python bench.py
+# bench.py manages its own per-attempt subprocess timeouts (ladder worst
+# case ~6600 s); the outer timeout only guards against harness hangs
+step bench       && run_step bench       7200 python bench.py
 step smoke       && run_step smoke       2400 python tools/tpu_smoke.py
 step ser         && run_step ser         1800 python tools/tpu_ser_equiv.py
 step protocols   && run_step protocols   3000 python tools/bench_protocols.py
