@@ -216,9 +216,12 @@ def smoke_demod_dma():
     d_r, s_r = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
                                   tile=32)
     checks = []
-    for tile in (32, 64):
+    variants = [dict(tile=32, dma=True), dict(tile=64, dma=True),
+                dict(tile=32, fused_stats=True),
+                dict(tile=64, dma=True, fused_stats=True)]
+    for kw in variants:
         d_d, s_d = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
-                                      tile=tile, dma=True)
+                                      **kw)
         checks.append(bool(
             np.array_equal(np.asarray(d_d), np.asarray(d_r))
             and np.array_equal(np.asarray(s_d.pos), np.asarray(s_r.pos))
@@ -226,7 +229,8 @@ def smoke_demod_dma():
                                np.asarray(s_r.offset))
             and np.array_equal(np.asarray(s_d.volume_ring),
                                np.asarray(s_r.volume_ring))))
-    return all(checks), f"bit-identical (dma tile 32, 64): {checks}"
+    return all(checks), ("bit-identical (dma t32, dma t64, fs t32, "
+                         f"dma+fs t64): {checks}")
 
 
 def main(only=None):
