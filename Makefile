@@ -32,5 +32,10 @@ recert:
 bench-cpu-ref:
 	$(PYTHON) tools/bench_cpu_vs_ref.py
 
+fuzz:
+	$(PYTHON) tools/fuzz_tracked.py 500 $$RANDOM
+	$(PYTHON) tools/fuzz_fullchain.py 100 $$RANDOM
+	$(PYTHON) tools/fuzz_timesharded.py 50 $$RANDOM
+
 clean:
 	rm -rf $(WHEELDIR) build *.egg-info
