@@ -22,7 +22,17 @@
 #   meshsoak     SOAK_MESH=1 tools/tpu_soak.py — mesh-bank datapoint
 set -u
 cd "$(dirname "$0")/.."
-LOGDIR=/tmp/hw_recert
+# Env hooks (used by tests/test_hw_recert_dryrun.py to fault-inject the
+# ladder without a backend; production runs leave them unset):
+#   HW_RECERT_LOGDIR          where logs + .done markers live
+#   HW_RECERT_LAUNCHED_MARKER the watcher's launch latch to clear on abort
+#   HW_RECERT_STUB_DIR        if set, run "bash $DIR/<step>.sh" instead of
+#                             the real tool, and "bash $DIR/probe.sh" (if
+#                             present) instead of the real backend probe
+#   HW_RECERT_STUB_TMO        per-step timeout override when stubbed
+LOGDIR="${HW_RECERT_LOGDIR:-/tmp/hw_recert}"
+LAUNCHED_MARKER="${HW_RECERT_LAUNCHED_MARKER:-/tmp/hw_recert_launched}"
+STUB_DIR="${HW_RECERT_STUB_DIR:-}"
 mkdir -p "$LOGDIR"
 export PYTHONPATH="$PWD:$PWD/tests"
 
@@ -30,6 +40,10 @@ probe_ok() {
   # cheap backend liveness check between steps: if the tunnel flapped,
   # abort the run early (every remaining tool would hang to its full
   # timeout) and let the watcher relaunch on the next OK probe
+  if [ -n "$STUB_DIR" ] && [ -f "$STUB_DIR/probe.sh" ]; then
+    bash "$STUB_DIR/probe.sh" >/dev/null 2>&1
+    return $?
+  fi
   timeout 150 python - <<'PY' >/dev/null 2>&1
 import jax, jax.numpy as jnp
 x = jnp.ones((8, 128)); assert float((x @ x.T).sum()) > 0
@@ -42,8 +56,12 @@ run_step() {
   if [ -f "$marker" ]; then echo "== $name: already done (rm $marker to redo)"; return 0; fi
   if ! probe_ok; then
     echo "== $name: SKIPPED — backend probe failed (tunnel down?); aborting run"
-    rm -f /tmp/hw_recert_launched   # let the watcher relaunch + resume
+    rm -f "$LAUNCHED_MARKER"   # let the watcher relaunch + resume
     exit 3
+  fi
+  if [ -n "$STUB_DIR" ]; then
+    tmo="${HW_RECERT_STUB_TMO:-20}"
+    set -- bash "$STUB_DIR/$name.sh"
   fi
   echo "== $name: running (timeout ${tmo}s) -> $log"
   if timeout "$tmo" "$@" > "$log" 2>&1; then
