@@ -34,7 +34,10 @@ LOGDIR="${HW_RECERT_LOGDIR:-/tmp/hw_recert}"
 LAUNCHED_MARKER="${HW_RECERT_LAUNCHED_MARKER:-/tmp/hw_recert_launched}"
 STUB_DIR="${HW_RECERT_STUB_DIR:-}"
 mkdir -p "$LOGDIR"
-export PYTHONPATH="$PWD:$PWD/tests"
+# APPEND to any preset PYTHONPATH — the axon TPU plugin registers via
+# /root/.axon_site/sitecustomize.py which the shell exposes through
+# PYTHONPATH; clobbering it silently drops the backend (observed round 4).
+export PYTHONPATH="$PWD:$PWD/tests${PYTHONPATH:+:$PYTHONPATH}"
 
 probe_ok() {
   # cheap backend liveness check between steps: if the tunnel flapped,
