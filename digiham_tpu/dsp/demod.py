@@ -235,16 +235,16 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
 
     ok = (state.pos.min() >= 0) & (state.pos.max() < pos_guard(sps))
     C, L = samples.shape
-    # DIGIHAM_DEMOD_DMA=1: ANY-memory kernel (sample rows stay in HBM,
-    # per-century windows double-buffered in via async copies) — lifts
-    # the resident kernel's tile cap to 128. Bit-identical outputs;
-    # default stays the resident kernel until the hardware A/B
-    # (tools/bench_demod_pallas.py --dma) shows a win.
-    dma = bool(env_flag("DIGIHAM_DEMOD_DMA"))
-    # DIGIHAM_DEMOD_FUSED_STATS=1: one column-packed selection matmul
-    # per century instead of three — bitwise identical; default off
-    # pending the same hardware A/B
-    fused_stats = bool(env_flag("DIGIHAM_DEMOD_FUSED_STATS"))
+    # ANY-memory (DMA-staged) kernel is the production default: sample
+    # rows stay in HBM and per-century windows are double-buffered in via
+    # async copies. Certified on hardware (round 4): bit-identical to the
+    # resident kernel (tpu_smoke demod_dma stage), fastest demod variant
+    # in the floor-subtracted A/B (tools/bench_demod_pallas.py: dma
+    # 2118.9 vs resident 2047.4 vs xla 1976.1 MS/s at 256ch x 16c), and
+    # immune to the resident kernel's scoped-VMEM OOM at 32 centuries.
+    # DIGIHAM_DEMOD_DMA=0 forces the resident twin (kept for A/B).
+    env_dma = env_flag("DIGIHAM_DEMOD_DMA")
+    dma = True if env_dma is None else bool(env_dma)
     # largest VMEM-safe channel tile that divides the bank (wider tiles
     # measured faster at 256ch: bigger selection matmuls, fewer grid steps)
     tile = pick_tile(C, L, n_centuries, sps, dma=dma)
@@ -253,8 +253,7 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
         samples, state = args
         return pallas_demod_block(samples, state, n_centuries, sps,
                                   mode=mode, invert=invert, tile=tile,
-                                  interpret=interpret, dma=dma,
-                                  fused_stats=fused_stats)
+                                  interpret=interpret, dma=dma)
 
     def rebase_branch(args):
         # per-channel dynamic-slice rebase (scalar-core gather — fine on
@@ -269,8 +268,7 @@ def _demod_block_auto(samples, state, n_centuries, sps, mode, invert,
                          state.volume_ring)
         dib, st1 = pallas_demod_block(rows, st0, n_centuries, sps,
                                       mode=mode, invert=invert, tile=tile,
-                                      interpret=interpret, dma=dma,
-                                      fused_stats=fused_stats)
+                                      interpret=interpret, dma=dma)
         return dib, DemodState(st1.pos + shift, st1.offset,
                                st1.volume_ring)
 

@@ -66,22 +66,6 @@ def _selection_matrices(sps: int):
     return sel_vol, sel_mid, p_col
 
 
-def _selection_cat(sps: int):
-    """The three selection matrices packed side-by-side at 128-aligned
-    column offsets — ONE [n, 384] MXU matmul yields vol sums, mid-third
-    sums, and per-column timing sums per century (fused_stats=True),
-    replacing three separate dots. Each output column is the same dot
-    over the same K order, so results are BITWISE identical."""
-    assert sps <= 128, sps
-    sel_vol, sel_mid, p_col = _selection_matrices(sps)
-    n = CENTURY * sps
-    cat = np.zeros((n, 3 * 128), np.float32)
-    cat[:, 0:CENTURY] = sel_vol
-    cat[:, 128:128 + CENTURY] = sel_mid
-    cat[:, 256:256 + sps] = p_col
-    return cat
-
-
 POS_GUARD = 128  # absolute cap on pos_guard(sps) (back-compat export)
 
 
@@ -145,7 +129,12 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
     last_start = _century_start(n_centuries - 1, n)
     L_pad = -(-max(L, last_start + load) // 128) * 128
-    budget = 14 * 2 ** 20
+    # the grid-invariant selection matrices ([n,100]x2 + [n,sps]) live in
+    # the same scoped VMEM — negligible at sps=10 (~1 MB) but ~3.8 MB at
+    # sps=40, where omitting them OOM'd the DMA kernel by 72 KB at
+    # tile=128 on hardware (round 4)
+    sel_bytes = (2 * n * CENTURY + n * sps) * 4
+    budget = 14 * 2 ** 20 - sel_bytes
     if dma:
         # resident per grid step: the 2-slot DMA scratch, the batched-AGC
         # concatenations/scan temporaries (~8 live [tile, (nc+1)*100]
@@ -165,8 +154,15 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     # embedding them (observed round 2), and with the batched-AGC kernel
     # the 32->64 gain is inside the dispatch-floor noise anyway; the
     # DIGIHAM_DEMOD_TILE override above remains for experiments.
+    # The batched-AGC concatenations/scan temporaries (~10 live
+    # [tile, (nc+1)*100] rows — same term as the dma branch) count
+    # against the same scoped budget: omitting them OOM'd the resident
+    # kernel at 256ch x 32 centuries on hardware (round 4,
+    # "17.09M > 16.00M" at tile=32 where this estimate said 9.3M).
     for t in (32, 16, 8):
-        need = 2 * t * L_pad * 4 + 2 * t * n_centuries * 128 * 4
+        need = (2 * t * L_pad * 4
+                + 10 * t * (n_centuries + 1) * 128 * 4
+                + 2 * t * n_centuries * 128 * 4)
         if C % t == 0 and need <= budget:
             return t
     # nothing fits: take the SMALLEST dividing tile (least VMEM)
@@ -175,7 +171,7 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                  invert: bool, load: int, ablate: tuple = (),
-                 dma: bool = False, fused_stats: bool = False):
+                 dma: bool = False):
     """ablate (PERF DIAGNOSTIC ONLY — wrong results): "shift" skips the
     alignment shifter, "timing" skips the variance matmuls, "agc" uses
     fixed thresholds. Used by tools/bench_demod_pallas.py to attribute
@@ -185,11 +181,10 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
     each century's 128-aligned [tile, load] window is double-buffered
     into a VMEM scratch with async copies — century c+1's DMA overlaps
     century c's compute. Identical math on identical windows, so the
-    outputs are bit-identical to the resident kernel.
-
-    fused_stats=True: the per-century vol/mid/col selection dots run as
-    ONE [tile, n] @ [n, 384] matmul on a column-packed matrix
-    (_selection_cat) — bitwise identical, fewer MXU issues."""
+    outputs are bit-identical to the resident kernel. This is the
+    production default (round-4 hardware A/B: fastest variant and VMEM
+    footprint independent of L; a column-packed fused-stats variant was
+    also A/B'd on hardware, showed no win, and was removed)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -234,13 +229,9 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
         return mn, mx
 
     def kernel(*refs):
-        if fused_stats:
-            (sel_cat_ref, p_col_ref, y_ref, pos_ref, off_ref, ring_ref,
-             dib_ref, pos_out, off_out, ring_out, *scratch) = refs
-        else:
-            (sel_vol_ref, sel_mid_ref, p_col_ref, y_ref, pos_ref,
-             off_ref, ring_ref, dib_ref, pos_out, off_out, ring_out,
-             *scratch) = refs
+        (sel_vol_ref, sel_mid_ref, p_col_ref, y_ref, pos_ref,
+         off_ref, ring_ref, dib_ref, pos_out, off_out, ring_out,
+         *scratch) = refs
         if dma:
             wbuf, dma_sem = scratch
             rows = pl.ds(pl.program_id(0) * tile, tile)
@@ -251,11 +242,8 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                     wbuf.at[c % 2], dma_sem.at[c % 2])
 
             _copy(0).start()
-        if fused_stats:
-            sel_cat = sel_cat_ref[:, :]
-        else:
-            sel_vol = sel_vol_ref[:, :]
-            sel_mid = sel_mid_ref[:, :]
+        sel_vol = sel_vol_ref[:, :]
+        sel_mid = sel_mid_ref[:, :]
         p_col = p_col_ref[:, :]
         ring = ring_ref[:, :]
         offset = off_ref[:, 0]          # [TILE] int32
@@ -299,17 +287,11 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                 jnp.int32, (tile, n), 1) < sps)
             sym_flat = jnp.where(first_sym, v0, shifted)
 
-            if fused_stats:
-                stats = jnp.dot(sym_flat, sel_cat,
-                                preferred_element_type=jnp.float32)
-                vol_avg = stats[:, 0:CENTURY] / sps
-                mid_avg = stats[:, 128:128 + CENTURY] / (hi - lo)
-            else:
-                vol_avg = jnp.dot(sym_flat, sel_vol,
-                                  preferred_element_type=jnp.float32) / sps
-                mid_avg = jnp.dot(
-                    sym_flat, sel_mid,
-                    preferred_element_type=jnp.float32) / (hi - lo)
+            vol_avg = jnp.dot(sym_flat, sel_vol,
+                              preferred_element_type=jnp.float32) / sps
+            mid_avg = jnp.dot(
+                sym_flat, sel_mid,
+                preferred_element_type=jnp.float32) / (hi - lo)
             vols.append(vol_avg)
             mids.append(mid_avg)
 
@@ -317,11 +299,8 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             if "timing" in ablate:
                 new_offset = jnp.zeros((tile,), jnp.int32)
             else:
-                if fused_stats:
-                    col_sums = stats[:, 256:256 + sps]
-                else:
-                    col_sums = jnp.dot(sym_flat, p_col,
-                                       preferred_element_type=jnp.float32)
+                col_sums = jnp.dot(sym_flat, p_col,
+                                   preferred_element_type=jnp.float32)
                 col_mean = col_sums / CENTURY
                 mean_flat = jnp.dot(col_mean, p_col.T,
                                     preferred_element_type=jnp.float32)
@@ -397,24 +376,22 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
 @functools.partial(jax.jit,
                    static_argnames=("n_centuries", "sps", "mode",
                                     "invert", "tile", "interpret",
-                                    "ablate", "dma", "fused_stats"))
+                                    "ablate", "dma"))
 def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
                        n_centuries: int, sps: int = 10,
                        mode: str = "gfsk", invert: bool = False,
                        tile: int = 8, interpret: bool = False,
-                       ablate: tuple = (), dma: bool = False,
-                       fused_stats: bool = False):
+                       ablate: tuple = (), dma: bool = False):
     """Drop-in twin of dsp.demod.gfsk_demod_block / fsk_demod_block.
 
     samples: [C, L] float32, L >= max(pos) + n_centuries*(100*sps+1)+1.
     Requires 0 <= pos[ch] < pos_guard(sps) (streaming drivers rebase
     pos to < 2*sps, inside the bound; the dsp.demod dispatch guards and
     rebases otherwise).
-    dma=True keeps the sample rows out of VMEM and double-buffers each
-    century's aligned window in with async copies — bit-identical
-    outputs, VMEM footprint independent of L, tiles up to 128.
-    fused_stats=True runs the three per-century selection dots as one
-    column-packed matmul — also bit-identical.
+    dma=True (the production default set by dsp.demod) keeps the sample
+    rows out of VMEM and double-buffers each century's aligned window in
+    with async copies — bit-identical outputs, VMEM footprint
+    independent of L, tiles up to 128.
     Returns (symbols [C, n_centuries*100] uint8, new DemodState).
     """
     from jax.experimental import pallas as pl
@@ -434,28 +411,18 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
         samples = jnp.pad(samples, ((0, 0), (0, L_pad - L)))
     grid = (C // tile,)
     kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
-                          ablate, dma, fused_stats)
+                          ablate, dma)
     sel_vol, sel_mid, p_col = _selection_matrices(sps)
-    if fused_stats:
-        sel_inputs = [jnp.asarray(_selection_cat(sps)),
-                      jnp.asarray(p_col)]
-        sel_specs = [
-            pl.BlockSpec((n, 3 * 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, sps), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-    else:
-        sel_inputs = [jnp.asarray(sel_vol), jnp.asarray(sel_mid),
-                      jnp.asarray(p_col)]
-        sel_specs = [
-            pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, sps), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+    sel_inputs = [jnp.asarray(sel_vol), jnp.asarray(sel_mid),
+                  jnp.asarray(p_col)]
+    sel_specs = [
+        pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, sps), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     out_w = -(-(n_centuries * CENTURY) // 128) * 128
 
     if dma:

@@ -350,20 +350,19 @@ def test_nonzero_start_state():
     _assert_state_match(st_p, st_x)
 
 
-@pytest.mark.parametrize("dma", [False, True])
-def test_fused_stats_bitwise(dma):
-    """fused_stats=True (one column-packed selection matmul per century)
-    is BITWISE identical to the unfused kernel in both staging modes —
-    each output column is the same dot over the same K order."""
-    rng = np.random.default_rng(90 + dma)
+@pytest.mark.parametrize("tile", [8, 16])
+def test_dma_bitwise(tile):
+    """The DMA-staged kernel (production default) is BITWISE identical
+    to the resident kernel at every tile: same math on identical
+    128-aligned century windows."""
+    rng = np.random.default_rng(90 + tile)
     channels, n_cent, sps = 16, 4, 10
     sig = jnp.asarray(_gfsk_sig(rng, channels, n_cent * 100 + 4, sps, 0.1))
     st = demod_init(channels)
     ref_d, ref_s = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
                                       tile=16, interpret=True)
     got_d, got_s = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
-                                      tile=16, interpret=True, dma=dma,
-                                      fused_stats=True)
+                                      tile=tile, interpret=True, dma=True)
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
     np.testing.assert_array_equal(np.asarray(got_s.pos),
                                   np.asarray(ref_s.pos))

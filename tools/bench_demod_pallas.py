@@ -71,14 +71,6 @@ def main():
         "pallas-dma": lambda x, st: pallas_demod_block(
             x, st, n_cent, sps, mode="gfsk",
             tile=int(os.environ.get("BENCH_DMA_TILE", "64")), dma=True),
-        # one column-packed selection matmul per century (bitwise twin)
-        "pallas-fs": lambda x, st: pallas_demod_block(
-            x, st, n_cent, sps, mode="gfsk", tile=tile,
-            fused_stats=True),
-        "pallas-dma-fs": lambda x, st: pallas_demod_block(
-            x, st, n_cent, sps, mode="gfsk",
-            tile=int(os.environ.get("BENCH_DMA_TILE", "64")), dma=True,
-            fused_stats=True),
     }
     only = os.environ.get("BENCH_ONLY")
     if only:

@@ -84,7 +84,7 @@ step smoke       && run_step smoke       2400 python tools/tpu_smoke.py
 step ser         && run_step ser         1800 python tools/tpu_ser_equiv.py
 step protocols   && run_step protocols   3000 python tools/bench_protocols.py
 step trellis     && run_step trellis     1800 python tools/bench_trellis.py
-step demod       && run_step demod       2400 env BENCH_ONLY=floor,xla,pallas,pallas-dma,pallas-fs,pallas-dma-fs BENCH_TILE=32 BENCH_DMA_TILE=64 python tools/bench_demod_pallas.py
+step demod       && run_step demod       2400 env BENCH_ONLY=floor,xla,pallas,pallas-dma BENCH_TILE=32 BENCH_DMA_TILE=64 python tools/bench_demod_pallas.py
 step multistream && run_step multistream 1200 python tools/bench_multistream.py
 step meshsoak    && run_step meshsoak    1800 env SOAK_MESH=1 SOAK_FRAMES=200 python tools/tpu_soak.py
 

@@ -217,8 +217,7 @@ def smoke_demod_dma():
                                   tile=32)
     checks = []
     variants = [dict(tile=32, dma=True), dict(tile=64, dma=True),
-                dict(tile=32, fused_stats=True),
-                dict(tile=64, dma=True, fused_stats=True)]
+                dict(tile=8, dma=True), dict(tile=16)]
     for kw in variants:
         d_d, s_d = pallas_demod_block(sig, st, n_cent, sps, mode="gfsk",
                                       **kw)
@@ -229,8 +228,8 @@ def smoke_demod_dma():
                                np.asarray(s_r.offset))
             and np.array_equal(np.asarray(s_d.volume_ring),
                                np.asarray(s_r.volume_ring))))
-    return all(checks), ("bit-identical (dma t32, dma t64, fs t32, "
-                         f"dma+fs t64): {checks}")
+    return all(checks), ("bit-identical (dma t32, dma t64, dma t8, "
+                         f"resident t16): {checks}")
 
 
 def main(only=None):
