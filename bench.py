@@ -49,12 +49,12 @@ import numpy as np
 # wins. Smaller unrolls carry a larger serialized-dispatch floor
 # (~RTT/unroll), so the ladder is ordered most-honest-first. A completed
 # server-side compile is cached, so a retry after a timeout often starts
-# warm. The third rung retries the honest unroll with the ANY-memory DMA
-# demod kernel (DIGIHAM_DEMOD_DMA=1, bit-exact twin): its VMEM footprint
-# is independent of block length, so it may compile where the resident
-# kernel's giant unrolled program crashes the remote helper.
+# warm. The DMA-staged demod kernel is the production default (round-4
+# A/B); the third rung retries the honest unroll with the RESIDENT twin
+# (DIGIHAM_DEMOD_DMA=0, bit-exact) in case a DMA-kernel program ever
+# trips the remote helper.
 ATTEMPTS = [(128, 16, 2400, {}), (64, 32, 1500, {}),
-            (128, 16, 1500, {"DIGIHAM_DEMOD_DMA": "1"}),
+            (128, 16, 1500, {"DIGIHAM_DEMOD_DMA": "0"}),
             (32, 16, 1200, {})]
 
 
