@@ -72,9 +72,19 @@ def synth_stream(seed, n_bursts=5, frames_per_burst=8, tail=2000):
         # dotting-pattern gap (alternating +-1/3): keeps the demod's
         # variance timing recovery locked between bursts so decode is
         # deterministic and every frame can be matched exactly (random
-        # dibit gaps cause timing wander -> symbol errors at burst start)
-        gap = np.tile(np.array([0, 2], np.uint8),
-                      int(rng.integers(100, 350)))
+        # dibit gaps cause timing wander -> symbol errors at burst start).
+        # The gap MUST be a whole EVEN number of 144-dibit frames: a
+        # repeater's TDMA grid (frame boundaries AND slot alternation) is
+        # continuous, and the tracker (faithful reference hysteresis)
+        # keeps its grid through short gaps — EMB false-positives on
+        # off-grid data resurrect sync_count, so a burst that lands off
+        # the old grid is swallowed entirely, and an odd-frame gap flips
+        # slot parity so the high-stability tracker rejects the next
+        # burst's TACT (dmr_phase.cpp slot_stability >= 5). Gap lengths
+        # mix short (tracker stays locked, decay < 6 frames) and long
+        # (sync lost -> SyncPhase re-hunt) to cover both paths.
+        gap_frames = 2 * int(rng.integers(2, 7))
+        gap = np.tile(np.array([0, 2], np.uint8), 72 * gap_frames)
         parts.append(gap)
         pos += len(gap)
         for s in range(frames_per_burst):
@@ -147,8 +157,14 @@ def bench_tracked(channels, n_centuries, block, mesh=None, cps=None,
     from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
 
     streams = [synth_stream(1000 + c, tail=tail) for c in range(channels)]
-    n = min(len(s[0]) for s in streams)
-    samples = np.stack([modulate(s[0][:n]) for s in streams])
+    # pad every channel to the longest stream with dotting (never truncate:
+    # cutting a short channel's tail below the bank's buffered block size
+    # strands its final burst unprocessed — observed as nc=16 tail misses)
+    n = max(len(s[0]) for s in streams)
+    dots = np.tile(np.array([0, 2], np.uint8), (n + 1) // 2)
+    samples = np.stack([
+        modulate(np.concatenate([s[0], dots[:n - len(s[0])]]))
+        for s in streams])
     ends = [dict(s[1]) for s in streams]
 
     if cps is not None:
