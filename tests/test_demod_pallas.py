@@ -293,14 +293,17 @@ def test_shift_bound_eight_stages():
 
 
 def test_pick_tile_dma_lifts_cap():
-    """The DMA restructure makes the VMEM footprint independent of the
-    block length, so the auto tile reaches 128 where the resident
-    kernel caps at 32."""
+    """The DMA restructure makes the input-window VMEM footprint
+    independent of the block length, so the auto tile rises above the
+    resident kernel's 32 cap. (The batched-AGC scan temporaries still
+    scale with tile x n_centuries — the round-4 hardware OOM fix — so
+    at 16 centuries the pick is 64, and 128 is reached at 8.)"""
     from digiham_tpu.ops.demod_pallas import pick_tile
 
     L = 16 * (100 * 10 + 1) + 8
     assert pick_tile(256, L, 16, 10) == 32
-    assert pick_tile(256, L, 16, 10, dma=True) == 128
+    assert pick_tile(256, L, 16, 10, dma=True) == 64
+    assert pick_tile(256, 8 * (100 * 10 + 1) + 8, 8, 10, dma=True) == 128
     # still divides small banks
     assert pick_tile(8, L, 16, 10, dma=True) == 8
 
