@@ -81,6 +81,57 @@ def probe() -> None:
     print(f"probe ok backend={jax.devices()[0].platform} v={v}")
 
 
+def _with_multistream(line: str) -> str:
+    """Append the multi-process aggregate to a successful headline line.
+
+    Round-4 hardware finding: within one process the tunnel serializes
+    dispatches, but separate processes overlap — the chip saturates near
+    8 concurrent streams (1/2/4/8/16 procs -> 3.2/6.4/11.0/24.0/27.0
+    GS/s, docs/HW_CERT_ROUND4.md), so the aggregate is the chip's real
+    serving capability and belongs next to the single-stream headline.
+    Runs tools/bench_multistream.py as a subprocess at the certified
+    config (8 procs x unroll 32); any failure leaves the headline line
+    untouched. BENCH_MULTISTREAM=0 disables; on CPU backends it only
+    runs when BENCH_MULTISTREAM=force (keeps unit tests fast).
+    """
+    import subprocess
+    mode = os.environ.get("BENCH_MULTISTREAM", "1")
+    if mode == "0":
+        return line
+    try:
+        head = json.loads(line)
+        if head.get("backend") != "tpu" and mode != "force":
+            return line
+        n = int(os.environ.get("BENCH_MULTISTREAM_PROCS", "8"))
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_multistream.py")
+        env = dict(os.environ,
+                   BENCH_UNROLL=os.environ.get("BENCH_MS_UNROLL", "32"),
+                   BENCH_CENTURIES=os.environ.get("BENCH_MS_CENTURIES",
+                                                  "16"),
+                   BENCH_REPS="6")
+        limit = float(os.environ.get("BENCH_MULTISTREAM_TIMEOUT", "1500"))
+        r = subprocess.run([sys.executable, tool, str(n)], env=env,
+                           timeout=limit, capture_output=True, text=True)
+        ms_line = next((ln for ln in r.stdout.splitlines()
+                        if ln.startswith("{")), None)
+        if r.returncode == 0 and ms_line:
+            ms = json.loads(ms_line)
+            head["multistream"] = {
+                "n_procs": ms["n_procs"],
+                "aggregate_msps": ms["aggregate_msps"],
+                "aggregate_vs_baseline": round(
+                    ms["aggregate_msps"] / 0.048, 1),
+                "unroll": ms["unroll"],
+            }
+            return json.dumps(head)
+        print(f"# multistream stage failed (rc={r.returncode}): "
+              f"{r.stderr.strip()[-300:]}", file=sys.stderr)
+    except Exception as e:  # never lose the headline to the extra stage
+        print(f"# multistream stage error: {e!r}", file=sys.stderr)
+    return line
+
+
 def orchestrate() -> int:
     import subprocess
     # backend-availability precheck: a hung tunnel must cost ~90 s and
@@ -132,7 +183,7 @@ def orchestrate() -> int:
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line:
-            print(line)
+            print(_with_multistream(line))
             return 0
         print(f"# bench attempt unroll={env['BENCH_UNROLL']} failed "
               f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",

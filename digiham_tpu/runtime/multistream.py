@@ -1,0 +1,231 @@
+"""Multi-process channel-bank driver: overlap serialized device dispatches.
+
+Round-4 hardware finding (docs/HW_CERT_ROUND4.md): within one process the
+tunneled TPU *serializes* dispatches — every call pays ~RTT regardless of
+async depth — but separate OS processes (separate device client sessions)
+DO overlap: the fused DMR pipeline measured near-linear aggregate scaling
+(1/2/4/8 procs → 3.2/6.4/11.0/24.0 GS/s at unroll 32,
+tools/bench_multistream.py). ``MultiStreamBank`` turns that finding into
+a production driver: it shards a channel bank across N worker processes,
+each owning ``channels/n_procs`` channels with its OWN jax client, so a
+tunneled or remote-serving deployment reaches the chip's aggregate
+capability instead of one stream's RTT floor. On a local-PCIe chip the
+same driver overlaps host control-plane work with device steps.
+
+Reference anchor: the reference already scales by OS process — one
+process per decoder *stage* wired with pipes (reference
+examples/dmr-decoder.sh:13-29). This driver is the same operational idea
+rotated 90°: one process per CHANNEL SHARD, each running the whole fused
+stack (TrackedChannelBank), outputs multiplexed back to the caller.
+
+Semantics: byte-identical to one big TrackedChannelBank — channels are
+independent (pure DP), so sharding them across processes changes nothing
+(tests/test_multistream.py asserts payload-byte parity). snapshot() /
+restore() compose the per-worker blobs, preserving the mid-stream
+checkpoint contract (runtime/checkpoint.py) across the process fan-out.
+
+Not marshalled across workers: per-channel metadata *writers* (file
+handles / fifos are process-local). Attach writers by running the
+consumer on the worker side via ``worker_init`` if needed; payload bytes
+and which-channel attribution flow back to the parent.
+"""
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import pickle
+
+import numpy as np
+
+_PROTOCOLS = ("dmr", "ysf", "nxdn", "dstar", "pocsag")
+
+
+def _build_bank(protocol: str, channels: int, pipeline_kwargs: dict,
+                slot_filter: int, on_output):
+    """Build a TrackedChannelBank for `protocol` (worker-side)."""
+    from .tracked_bank import (DstarAdapter, NxdnAdapter, PocsagAdapter,
+                               TrackedChannelBank, YsfAdapter)
+
+    kw = dict(pipeline_kwargs or {})
+    if protocol == "dmr":
+        from ..pipeline import DmrPipeline
+        kw.setdefault("sps", 10)
+        pipe, adapter = DmrPipeline(channels=channels, **kw), None
+    elif protocol == "ysf":
+        from ..pipeline import YsfPipeline
+        kw.setdefault("sps", 10)
+        pipe, adapter = YsfPipeline(channels=channels, **kw), YsfAdapter()
+    elif protocol == "nxdn":
+        from ..pipeline import NxdnPipeline
+        kw.setdefault("sps", 20)
+        pipe, adapter = NxdnPipeline(channels=channels, **kw), NxdnAdapter()
+    elif protocol == "dstar":
+        from ..pipeline import FskPipeline
+        pipe, adapter = (FskPipeline(channels=channels, protocol="dstar",
+                                     **kw), DstarAdapter())
+    elif protocol == "pocsag":
+        from ..pipeline import FskPipeline
+        pipe, adapter = (FskPipeline(channels=channels, protocol="pocsag",
+                                     **kw), PocsagAdapter())
+    else:
+        raise ValueError(
+            f"unknown protocol {protocol!r} (one of {_PROTOCOLS})")
+    return TrackedChannelBank(pipe, on_output=on_output,
+                              slot_filter=slot_filter, adapter=adapter)
+
+
+def _worker(conn, protocol, channels, pipeline_kwargs, slot_filter,
+            worker_init):
+    """Worker process body: own jax client, one bank shard, RPC loop."""
+    # honor the parent's platform choice: the TPU plugin overrides the
+    # env var, so re-pin via config after import (CLAUDE.md environment
+    # note — required for CPU-pinned tests and harmless under axon)
+    plat = os.environ.get("JAX_PLATFORMS")
+    import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat.split(",")[0])
+    outputs = []
+    bank = _build_bank(protocol, channels, pipeline_kwargs, slot_filter,
+                       on_output=lambda c, d: outputs.append((c, bytes(d))))
+    if worker_init is not None:
+        worker_init(bank)
+    try:
+        while True:
+            msg = conn.recv()
+            op = msg[0]
+            if op == "push":
+                bank.push(msg[1])
+                conn.send(outputs)
+                outputs = []
+            elif op == "flush":
+                bank.flush()
+                conn.send(outputs)
+                outputs = []
+            elif op == "snapshot":
+                conn.send(bank.snapshot())
+            elif op == "restore":
+                bank.restore(msg[1])
+                conn.send(None)
+            elif op == "close":
+                conn.send(None)
+                return
+    except (EOFError, KeyboardInterrupt):
+        return
+
+
+class MultiStreamBank:
+    """N-process sharded TrackedChannelBank (see module docstring).
+
+    protocol: one of dmr/ysf/nxdn/dstar/pocsag.
+    channels: total channel count; must divide by n_procs.
+    n_procs: worker process count (hardware guidance: 4-8 recovers the
+        tunnel dispatch floor, docs/HW_CERT_ROUND4.md).
+    on_output(channel, payload): called in the parent with GLOBAL channel
+        ids, in worker order then emission order (per-channel ordering is
+        preserved; cross-channel ordering between shards is not defined,
+        matching the reference's independent per-channel processes).
+    pipeline_kwargs: forwarded to the protocol pipeline per shard
+        (e.g. n_centuries).
+    worker_init(bank): optional callable run once in each worker after
+        bank construction (attach meta writers, warm caches). Must be
+        picklable (module-level function).
+    """
+
+    def __init__(self, protocol: str = "dmr", channels: int = 256,
+                 n_procs: int = 4, on_output=None, slot_filter: int = 3,
+                 pipeline_kwargs: dict | None = None, worker_init=None):
+        if channels % n_procs:
+            raise ValueError(
+                f"{channels} channels not divisible by {n_procs} workers")
+        self.protocol = protocol
+        self.channels = channels
+        self.n_procs = n_procs
+        self.on_output = on_output
+        self._per = channels // n_procs
+        ctx = mp.get_context("spawn")  # fresh CPython => fresh jax client
+        self._conns, self._procs = [], []
+        for w in range(n_procs):
+            parent, child = ctx.Pipe()
+            p = ctx.Process(
+                target=_worker,
+                args=(child, protocol, self._per, pipeline_kwargs,
+                      slot_filter, worker_init),
+                daemon=True)
+            p.start()
+            child.close()
+            self._conns.append(parent)
+            self._procs.append(p)
+
+    # -- core ------------------------------------------------------------
+    def _gather(self):
+        """Collect one reply per worker; dispatch outputs with global ids."""
+        for w, conn in enumerate(self._conns):
+            for local_ch, payload in conn.recv():
+                if self.on_output is not None:
+                    self.on_output(w * self._per + local_ch, payload)
+
+    def push(self, samples: np.ndarray) -> None:
+        """Feed [channels, L] float samples; all shards run CONCURRENTLY
+        (this is the overlap the driver exists for)."""
+        samples = np.asarray(samples)
+        if samples.shape[0] != self.channels:
+            raise ValueError(
+                f"expected {self.channels} rows, got {samples.shape[0]}")
+        for w, conn in enumerate(self._conns):
+            conn.send(("push",
+                       samples[w * self._per:(w + 1) * self._per]))
+        self._gather()
+
+    def flush(self) -> None:
+        for conn in self._conns:
+            conn.send(("flush",))
+        self._gather()
+
+    # -- checkpoint contract ----------------------------------------------
+    def snapshot(self) -> bytes:
+        """Composite mid-stream checkpoint: one blob per worker shard."""
+        for conn in self._conns:
+            conn.send(("snapshot",))
+        return pickle.dumps({
+            "protocol": self.protocol,
+            "channels": self.channels,
+            "n_procs": self.n_procs,
+            "shards": [conn.recv() for conn in self._conns],
+        })
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        if (d["channels"], d["n_procs"]) != (self.channels, self.n_procs):
+            raise ValueError(
+                f"snapshot is {d['channels']}ch/{d['n_procs']}proc, bank "
+                f"is {self.channels}ch/{self.n_procs}proc")
+        for conn, shard in zip(self._conns, d["shards"]):
+            conn.send(("restore", shard))
+        for conn in self._conns:
+            conn.recv()
+
+    # -- lifecycle ---------------------------------------------------------
+    def close(self) -> None:
+        for conn in self._conns:
+            try:
+                conn.send(("close",))
+            except (BrokenPipeError, OSError):
+                pass
+        for conn in self._conns:
+            try:
+                conn.recv()
+            except (EOFError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=30)
+            if p.is_alive():
+                p.terminate()
+        for conn in self._conns:
+            conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -65,3 +65,26 @@ def test_ladder_success_after_fallback():
     assert out["value"] > 0
     assert out["unroll"] == 4
     assert out["channels"] == 8
+    # CPU backend: the multistream stage must stay out of the way
+    # (it only runs on tpu or under BENCH_MULTISTREAM=force)
+    assert "multistream" not in out
+
+
+def test_multistream_stage_merges_into_headline():
+    # force the multi-process aggregate stage on CPU at a tiny config:
+    # the orchestrator must print ONE line with the merged field
+    r = _run({"BENCH_LADDER": "4,1,540",
+              "BENCH_CHANNELS": "8", "BENCH_REPS": "2",
+              "BENCH_SKIP_PROBE": "1",
+              "BENCH_MULTISTREAM": "force",
+              "BENCH_MULTISTREAM_PROCS": "2",
+              "BENCH_MS_UNROLL": "4", "BENCH_MS_CENTURIES": "1"},
+             timeout=900)
+    assert r.returncode == 0, (r.stderr[-1500:], r.stdout[-500:])
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1
+    ms = lines[0].get("multistream")
+    assert ms, (r.stderr[-800:], lines[0])
+    assert ms["n_procs"] == 2
+    assert ms["aggregate_msps"] > 0
+    assert ms["aggregate_vs_baseline"] > 0

@@ -24,6 +24,9 @@ sys.path.insert(0, ".")
 def _worker(rank, reps, unroll, centuries, q):
     os.environ.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache")
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # config update, not env: the TPU plugin overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_CACHE_DIR"])
@@ -32,7 +35,8 @@ def _worker(rank, reps, unroll, centuries, q):
     import jax.numpy as jnp
     from digiham_tpu.pipeline import DmrPipeline
 
-    channels, sps = 256, 10
+    channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    sps = 10
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=centuries)
     L = centuries * (100 * sps + 1) + 8
     seed_base = (int(time.time()) + rank * 997) % 1000000
