@@ -64,9 +64,9 @@ def bench_bank(name, stream, rate):
     dev = [0.0]
     orig = bank.adapter.decode_fields
 
-    def timed(frames, jnp_):
+    def timed(frames, jnp_, **kw):
         t0 = time.perf_counter()
-        r = orig(frames, jnp_)
+        r = orig(frames, jnp_, **kw)
         dev[0] += time.perf_counter() - t0
         return r
 
@@ -151,10 +151,53 @@ def dmr_steady_state_detail():
     }
 
 
+def bank_scaling(channels_list=(64, 256, 1024)):
+    """Host control-plane scaling: does per-channel cost stay flat as the
+    bank grows? (VERDICT r3 item 4.) Drives TrackedChannelBank through
+    the symbol-domain entry (push_dibits — no device DSP in the timing),
+    identical frame-locked DMR voice on every channel, and reports the
+    per-channel-frame host cost at each bank size. A flat curve means
+    the host loop is O(channels) with no superlinear term."""
+    import jax.numpy as jnp  # noqa: F401 — bank import needs jax ready
+    from dmr_synth import voice_frame  # tests/
+    from digiham_tpu.pipeline import DmrPipeline
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+
+    payload = np.tile([1, 3, 0, 2], 27)
+    frames = np.concatenate(
+        [voice_frame(s % 2, payload, sync=True) for s in range(40)])
+    rows = []
+    for C in channels_list:
+        bank = TrackedChannelBank(
+            DmrPipeline(channels=C, sps=10, n_centuries=2),
+            on_output=lambda c, d: None)
+        stream = np.tile(frames, (C, 1))
+        chunk = 400
+        # warm: first frames compile the field-decode jits + lock trackers
+        bank.push_dibits(stream[:, :chunk * 4])
+        t0 = time.perf_counter()
+        for lo in range(chunk * 4, stream.shape[1] - chunk, chunk):
+            bank.push_dibits(stream[:, lo:lo + chunk])
+        dt = time.perf_counter() - t0
+        n_sym = stream.shape[1] - chunk * 4 - chunk
+        frames_done = C * (n_sym // 144)
+        us_pcf = dt / frames_done * 1e6
+        fps = 48000 / (144 * 10)
+        rows.append({
+            "metric": "dmr_host_bank_scaling",
+            "channels": C,
+            "us_per_channel_frame": round(us_pcf, 2),
+            "realtime_channels_per_core": round(1e6 / (us_pcf * fps)),
+        })
+    return rows
+
+
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     print(json.dumps(dmr_steady_state_detail()), flush=True)
+    for row in bank_scaling():
+        print(json.dumps(row), flush=True)
     for name, stream, rate in _streams():
         print(json.dumps(bench_bank(name, stream, rate)), flush=True)
 

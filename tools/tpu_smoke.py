@@ -232,6 +232,36 @@ def smoke_demod_dma():
                          f"resident t16): {checks}")
 
 
+def smoke_multistream(channels=4, n_procs=2):
+    """The production multi-process serving driver on hardware: each
+    worker owns its own device client session (the dispatch-overlap
+    mechanism, docs/HW_CERT_ROUND4.md) and the sharded bank must decode
+    byte-identically to the in-process bank."""
+    from digiham_tpu.protocols.dmr.phases import pack_dibits
+    from digiham_tpu.runtime.multistream import MultiStreamBank
+    from dmr_synth import voice_frame
+
+    rng = np.random.default_rng(43)
+    payload = np.tile([2, 0, 3, 1], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(12)]
+    dibits = np.concatenate([np.zeros(30, np.uint8)] + frames)
+    base = np.repeat(LEVELS4[dibits], 10) * 1000
+    samples = np.stack(
+        [base + rng.normal(0, 60.0, base.shape) for _ in range(channels)]
+    ).astype(np.float32)
+    outputs = {c: b"" for c in range(channels)}
+    with MultiStreamBank("dmr", channels=channels, n_procs=n_procs,
+                         on_output=lambda c, d: outputs.__setitem__(
+                             c, outputs[c] + d),
+                         pipeline_kwargs={"n_centuries": 2}) as ms:
+        for lo in range(0, samples.shape[1], 8192):
+            ms.push(samples[:, lo:lo + 8192])
+    want = pack_dibits(payload)
+    ok = sum(want in outputs[c] for c in range(channels))
+    return ok == channels, (f"{ok}/{channels} channels decoded via "
+                            f"{n_procs}-process MultiStreamBank")
+
+
 def main(only=None):
     import jax
     try:
@@ -242,7 +272,8 @@ def main(only=None):
     print("backend:", jax.devices()[0].platform, flush=True)
     cases = {"dmr": smoke_dmr, "ysf": smoke_ysf, "nxdn": smoke_nxdn,
              "dstar": smoke_dstar, "pocsag": smoke_pocsag,
-             "viterbi": smoke_viterbi, "demod_dma": smoke_demod_dma}
+             "viterbi": smoke_viterbi, "demod_dma": smoke_demod_dma,
+             "multistream": smoke_multistream}
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
     failed = []
