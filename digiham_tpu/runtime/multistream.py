@@ -158,10 +158,30 @@ class MultiStreamBank:
             self._procs.append(p)
 
     # -- core ------------------------------------------------------------
+    def _send(self, w, msg):
+        try:
+            self._conns[w].send(msg)
+        except (BrokenPipeError, OSError) as e:
+            proc = self._procs[w]
+            raise RuntimeError(
+                f"MultiStreamBank worker {w} (pid {proc.pid}) died "
+                f"with exitcode {proc.exitcode}") from e
+
+    def _recv(self, w):
+        """recv from worker w, failing loudly if it died (a bare recv
+        would block forever on a crashed worker's half-open pipe)."""
+        conn, proc = self._conns[w], self._procs[w]
+        while not conn.poll(1.0):
+            if not proc.is_alive():
+                raise RuntimeError(
+                    f"MultiStreamBank worker {w} (pid {proc.pid}) died "
+                    f"with exitcode {proc.exitcode}")
+        return conn.recv()
+
     def _gather(self):
         """Collect one reply per worker; dispatch outputs with global ids."""
-        for w, conn in enumerate(self._conns):
-            for local_ch, payload in conn.recv():
+        for w in range(self.n_procs):
+            for local_ch, payload in self._recv(w):
                 if self.on_output is not None:
                     self.on_output(w * self._per + local_ch, payload)
 
@@ -172,26 +192,26 @@ class MultiStreamBank:
         if samples.shape[0] != self.channels:
             raise ValueError(
                 f"expected {self.channels} rows, got {samples.shape[0]}")
-        for w, conn in enumerate(self._conns):
-            conn.send(("push",
-                       samples[w * self._per:(w + 1) * self._per]))
+        for w in range(self.n_procs):
+            self._send(w, ("push",
+                           samples[w * self._per:(w + 1) * self._per]))
         self._gather()
 
     def flush(self) -> None:
-        for conn in self._conns:
-            conn.send(("flush",))
+        for w in range(self.n_procs):
+            self._send(w, ("flush",))
         self._gather()
 
     # -- checkpoint contract ----------------------------------------------
     def snapshot(self) -> bytes:
         """Composite mid-stream checkpoint: one blob per worker shard."""
-        for conn in self._conns:
-            conn.send(("snapshot",))
+        for w in range(self.n_procs):
+            self._send(w, ("snapshot",))
         return pickle.dumps({
             "protocol": self.protocol,
             "channels": self.channels,
             "n_procs": self.n_procs,
-            "shards": [conn.recv() for conn in self._conns],
+            "shards": [self._recv(w) for w in range(self.n_procs)],
         })
 
     def restore(self, blob: bytes) -> None:
@@ -200,10 +220,10 @@ class MultiStreamBank:
             raise ValueError(
                 f"snapshot is {d['channels']}ch/{d['n_procs']}proc, bank "
                 f"is {self.channels}ch/{self.n_procs}proc")
-        for conn, shard in zip(self._conns, d["shards"]):
-            conn.send(("restore", shard))
-        for conn in self._conns:
-            conn.recv()
+        for w, shard in enumerate(d["shards"]):
+            self._send(w, ("restore", shard))
+        for w in range(self.n_procs):
+            self._recv(w)
 
     # -- lifecycle ---------------------------------------------------------
     def close(self) -> None:

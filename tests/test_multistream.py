@@ -95,3 +95,18 @@ def test_multistream_snapshot_restore_midstream():
 def test_multistream_rejects_bad_shapes():
     with pytest.raises(ValueError):
         MultiStreamBank("dmr", channels=5, n_procs=2)
+
+
+def test_multistream_worker_death_raises():
+    """A crashed worker must surface as RuntimeError, not a hang (the
+    parent's gather polls worker liveness instead of blocking)."""
+    samples, _ = _synth(2, n_frames=2)
+    ms = MultiStreamBank("dmr", channels=2, n_procs=2,
+                         pipeline_kwargs={"n_centuries": 2})
+    try:
+        ms._procs[0].terminate()
+        ms._procs[0].join(timeout=30)
+        with pytest.raises(RuntimeError, match="worker 0 .* died"):
+            ms.push(samples[:, :4096])
+    finally:
+        ms.close()

@@ -19,6 +19,8 @@
 #   trellis      tools/bench_trellis.py — floor-subtracted Viterbi A/B
 #   demod        tools/bench_demod_pallas.py — resident vs DMA kernel A/B
 #   multistream  tools/bench_multistream.py — dispatch overlap probe
+#   msscale      bench_multistream.py 8 — serving-aggregate scaling knee
+#   profile      profile_pipeline.py gen/fm/full — stage attribution
 #   meshsoak     SOAK_MESH=1 tools/tpu_soak.py — mesh-bank datapoint
 set -u
 cd "$(dirname "$0")/.."
@@ -86,6 +88,10 @@ step protocols   && run_step protocols   3000 python tools/bench_protocols.py
 step trellis     && run_step trellis     1800 python tools/bench_trellis.py
 step demod       && run_step demod       2400 env BENCH_ONLY=floor,xla,pallas,pallas-dma BENCH_TILE=32 BENCH_DMA_TILE=64 python tools/bench_demod_pallas.py
 step multistream && run_step multistream 1200 python tools/bench_multistream.py
+# round-4 additions: the serving-aggregate scaling knee (the chip's real
+# capability, docs/HW_CERT_ROUND4.md) and the stage-attribution profile
+step msscale     && run_step msscale     2400 python tools/bench_multistream.py 8
+step profile     && run_step profile     3000 env PROFILE_STAGES=gen,fm,full python tools/profile_pipeline.py
 step meshsoak    && run_step meshsoak    1800 env SOAK_MESH=1 SOAK_FRAMES=200 python tools/tpu_soak.py
 
 echo "== summary =="
