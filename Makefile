@@ -6,13 +6,20 @@
 PYTHON ?= python
 WHEELDIR ?= dist
 
-.PHONY: wheel native test bench smoke clean
+.PHONY: wheel native cmake-package test bench smoke clean
 
 wheel:
 	$(PYTHON) -m pip wheel . --no-deps --no-build-isolation -w $(WHEELDIR)
 
 native:
 	$(PYTHON) -c "from digiham_tpu import native; native._build(); print('native helpers:', 'loaded' if native._load() is not None else 'numpy fallback')"
+
+# distro-consumable CMake package of the native host runtime
+# (find_package(DigihamTpuNative) for C/C++ consumers; see docs/PACKAGING.md)
+cmake-package:
+	cmake -S digiham_tpu/native -B build/native -DCMAKE_BUILD_TYPE=Release
+	cmake --build build/native -j
+	@echo "install with: cmake --install build/native --prefix <prefix>"
 
 test:
 	$(PYTHON) -m pytest tests/ -q

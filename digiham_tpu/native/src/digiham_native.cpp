@@ -161,7 +161,8 @@ int64_t dh_viterbi(const uint8_t* dibits, int64_t T, int32_t num_states,
 // -------------------------------------------------------------- ringbuffer
 // SPSC byte ring buffer: one ingest thread writes, one dispatch thread
 // reads. Capacity must be a power of two.
-typedef struct {
+// named to match the opaque forward declaration in include/digiham_native.h
+typedef struct dh_ringbuffer {
     uint8_t* data;
     size_t capacity;   // power of 2
     size_t mask;
