@@ -105,8 +105,11 @@ def _with_multistream(line: str) -> str:
         n = int(os.environ.get("BENCH_MULTISTREAM_PROCS", "8"))
         tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "bench_multistream.py")
+        # 8 procs x unroll 64 is the certified serving sweet spot
+        # (36.3 GS/s; unroll 32 gives 24, and 8 concurrent unroll-128
+        # programs collapse the server — docs/HW_CERT_ROUND4.md sweep)
         env = dict(os.environ,
-                   BENCH_UNROLL=os.environ.get("BENCH_MS_UNROLL", "32"),
+                   BENCH_UNROLL=os.environ.get("BENCH_MS_UNROLL", "64"),
                    BENCH_CENTURIES=os.environ.get("BENCH_MS_CENTURIES",
                                                   "16"),
                    BENCH_REPS="6")

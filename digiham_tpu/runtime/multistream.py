@@ -4,8 +4,8 @@ Round-4 hardware finding (docs/HW_CERT_ROUND4.md): within one process the
 tunneled TPU *serializes* dispatches — every call pays ~RTT regardless of
 async depth — but separate OS processes (separate device client sessions)
 DO overlap: the fused DMR pipeline measured near-linear aggregate scaling
-(1/2/4/8 procs → 3.2/6.4/11.0/24.0 GS/s at unroll 32,
-tools/bench_multistream.py). ``MultiStreamBank`` turns that finding into
+(1/2/4/8 procs → 3.2/6.4/11.0/24.0 GS/s at unroll 32; sweet spot
+8 procs × unroll 64 = 36.3 GS/s, tools/bench_multistream.py). ``MultiStreamBank`` turns that finding into
 a production driver: it shards a channel bank across N worker processes,
 each owning ``channels/n_procs`` channels with its OWN jax client, so a
 tunneled or remote-serving deployment reaches the chip's aggregate
