@@ -10,7 +10,11 @@
 //  - symbol/bit packing kernels (payload byte packing on the egress path)
 //  - pattern correlation (sync hunting in the host control plane)
 //
-// Exposed as a plain C ABI consumed via ctypes (no Python headers needed).
+// Exposed as a plain C ABI consumed via ctypes (no Python headers needed);
+// the public header keeps signature drift a compile error (the relative
+// include works for both the CMake build and the on-demand ctypes g++ build).
+#include "../include/digiham_native.h"
+
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>

@@ -85,6 +85,15 @@ def _worker(conn, protocol, channels, pipeline_kwargs, slot_filter,
 
     if plat:
         jax.config.update("jax_platforms", plat.split(",")[0])
+    # persistent compile cache: without it every worker pays the full
+    # (multi-minute on the tunnel) compile on every process launch
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     outputs = []
     bank = _build_bank(protocol, channels, pipeline_kwargs, slot_filter,
                        on_output=lambda c, d: outputs.append((c, bytes(d))))

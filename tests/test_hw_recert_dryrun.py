@@ -24,6 +24,8 @@ STEPS = [
     "trellis",
     "demod",
     "multistream",
+    "msscale",
+    "profile",
     "meshsoak",
 ]
 

@@ -80,7 +80,6 @@ def test_multistream_snapshot_restore_midstream():
         ms2.restore(blob)
         ms2.push(samples[:, cut:])
 
-    tail_a = [g for g in got_a]
     # got_a includes pre-cut emissions; recompute the post-cut tail by
     # re-running the first half on a third bank and subtracting counts
     got_pre = [[] for _ in range(channels)]

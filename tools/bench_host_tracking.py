@@ -176,10 +176,11 @@ def bank_scaling(channels_list=(64, 256, 1024)):
         # warm: first frames compile the field-decode jits + lock trackers
         bank.push_dibits(stream[:, :chunk * 4])
         t0 = time.perf_counter()
+        n_sym = 0
         for lo in range(chunk * 4, stream.shape[1] - chunk, chunk):
             bank.push_dibits(stream[:, lo:lo + chunk])
+            n_sym += chunk
         dt = time.perf_counter() - t0
-        n_sym = stream.shape[1] - chunk * 4 - chunk
         frames_done = C * (n_sym // 144)
         us_pcf = dt / frames_done * 1e6
         fps = 48000 / (144 * 10)
