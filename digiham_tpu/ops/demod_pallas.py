@@ -50,6 +50,15 @@ from ..dsp.demod import (CENTURY, FLT_MIN, VMIN_GUARD, DemodState,
                          _eval_bounds)
 
 
+# lane offsets of the three sections in the merged selection matrix:
+# [0,100) volume, [128,228) mid-third, [256,256+sps) timing columns —
+# every section starts on a 128-lane boundary so in-kernel slices are
+# aligned; sps <= 128 keeps the timing section inside one lane tile
+SEL_MID_OFF = 128
+SEL_COL_OFF = 256
+SEL_W = 384
+
+
 def _selection_matrices(sps: int):
     """Static 0/1 f32 matrices turning a flat [100*sps] century window
     into per-symbol statistics on the MXU."""
@@ -64,6 +73,23 @@ def _selection_matrices(sps: int):
         np.float32)
     p_col = (off[:, None] == np.arange(sps)[None, :]).astype(np.float32)
     return sel_vol, sel_mid, p_col
+
+
+def _merged_selection(sps: int) -> np.ndarray:
+    """The three selection matrices packed side by side into one
+    [n, 384] operand (sections 128-lane aligned, zero-padded): the three
+    per-century statistics dots sharing the same LHS become ONE MXU
+    matmul (ROADMAP round-3 lever (a)). Bitwise identical: each output
+    column's K-accumulation is unchanged, and VMEM cost is identical
+    too (the separate matrices padded to 128 lanes each anyway)."""
+    assert sps <= 128, sps
+    sel_vol, sel_mid, p_col = _selection_matrices(sps)
+    n = sel_vol.shape[0]
+    merged = np.zeros((n, SEL_W), np.float32)
+    merged[:, :CENTURY] = sel_vol
+    merged[:, SEL_MID_OFF:SEL_MID_OFF + CENTURY] = sel_mid
+    merged[:, SEL_COL_OFF:SEL_COL_OFF + sps] = p_col
+    return merged
 
 
 POS_GUARD = 128  # absolute cap on pos_guard(sps) (back-compat export)
@@ -129,11 +155,12 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
     last_start = _century_start(n_centuries - 1, n)
     L_pad = -(-max(L, last_start + load) // 128) * 128
-    # the grid-invariant selection matrices ([n,100]x2 + [n,sps]) live in
-    # the same scoped VMEM — negligible at sps=10 (~1 MB) but ~3.8 MB at
+    # the grid-invariant merged selection matrix ([n, 384] — the true
+    # lane-padded footprint of the old three-matrix layout) lives in
+    # the same scoped VMEM — ~1.5 MB at sps=10 but ~6 MB at
     # sps=40, where omitting them OOM'd the DMA kernel by 72 KB at
     # tile=128 on hardware (round 4)
-    sel_bytes = (2 * n * CENTURY + n * sps) * 4
+    sel_bytes = n * SEL_W * 4  # merged [n, 384] selection operand
     budget = 14 * 2 ** 20 - sel_bytes
     if dma:
         # resident per grid step: the 2-slot DMA scratch, the batched-AGC
@@ -229,7 +256,7 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
         return mn, mx
 
     def kernel(*refs):
-        (sel_vol_ref, sel_mid_ref, p_col_ref, y_ref, pos_ref,
+        (sel_ref, y_ref, pos_ref,
          off_ref, ring_ref, dib_ref, pos_out, off_out, ring_out,
          *scratch) = refs
         if dma:
@@ -242,9 +269,8 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                     wbuf.at[c % 2], dma_sem.at[c % 2])
 
             _copy(0).start()
-        sel_vol = sel_vol_ref[:, :]
-        sel_mid = sel_mid_ref[:, :]
-        p_col = p_col_ref[:, :]
+        sel = sel_ref[:, :]            # [n, 384] merged selection matrix
+        p_col = sel[:, SEL_COL_OFF:SEL_COL_OFF + sps]
         ring = ring_ref[:, :]
         offset = off_ref[:, 0]          # [TILE] int32
         pos = pos_ref[:, 0]             # [TILE] int32
@@ -287,11 +313,14 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                 jnp.int32, (tile, n), 1) < sps)
             sym_flat = jnp.where(first_sym, v0, shifted)
 
-            vol_avg = jnp.dot(sym_flat, sel_vol,
-                              preferred_element_type=jnp.float32) / sps
-            mid_avg = jnp.dot(
-                sym_flat, sel_mid,
-                preferred_element_type=jnp.float32) / (hi - lo)
+            # ONE selection matmul per century: volume sums, mid-third
+            # sums and timing column sums share the LHS, so the merged
+            # [n, 384] RHS computes all three in a single MXU pass
+            # (identical per-column K-accumulation => bit-identical)
+            stats = jnp.dot(sym_flat, sel,
+                            preferred_element_type=jnp.float32)
+            vol_avg = stats[:, :CENTURY] / sps
+            mid_avg = stats[:, SEL_MID_OFF:SEL_MID_OFF + CENTURY] / (hi - lo)
             vols.append(vol_avg)
             mids.append(mid_avg)
 
@@ -299,8 +328,7 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             if "timing" in ablate:
                 new_offset = jnp.zeros((tile,), jnp.int32)
             else:
-                col_sums = jnp.dot(sym_flat, p_col,
-                                   preferred_element_type=jnp.float32)
+                col_sums = stats[:, SEL_COL_OFF:SEL_COL_OFF + sps]
                 col_mean = col_sums / CENTURY
                 mean_flat = jnp.dot(col_mean, p_col.T,
                                     preferred_element_type=jnp.float32)
@@ -412,15 +440,9 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
     grid = (C // tile,)
     kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
                           ablate, dma)
-    sel_vol, sel_mid, p_col = _selection_matrices(sps)
-    sel_inputs = [jnp.asarray(sel_vol), jnp.asarray(sel_mid),
-                  jnp.asarray(p_col)]
+    sel_inputs = [jnp.asarray(_merged_selection(sps))]
     sel_specs = [
-        pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, CENTURY), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, sps), lambda i: (0, 0),
+        pl.BlockSpec((n, SEL_W), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_w = -(-(n_centuries * CENTURY) // 128) * 128
