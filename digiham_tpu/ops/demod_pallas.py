@@ -155,12 +155,16 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
     last_start = _century_start(n_centuries - 1, n)
     L_pad = -(-max(L, last_start + load) // 128) * 128
-    # the grid-invariant merged selection matrix ([n, 384] — the true
-    # lane-padded footprint of the old three-matrix layout) lives in
-    # the same scoped VMEM — ~1.5 MB at sps=10 but ~6 MB at
-    # sps=40, where omitting them OOM'd the DMA kernel by 72 KB at
-    # tile=128 on hardware (round 4)
-    sel_bytes = n * SEL_W * 4  # merged [n, 384] selection operand
+    # the grid-invariant merged selection matrix lives in the same
+    # scoped VMEM. This estimator is HARDWARE-CALIBRATED, not truthful:
+    # it uses the unpadded three-matrix size (the merged [n, 384]
+    # operand occupies the same lanes the padded three always did), and
+    # together with the conservative 14 MB budget it reproduces the
+    # certified-good picks — tile=64 DMA at sps=40 runs (POCSAG 16.2
+    # GS/s) while tile=128 OOM'd by 72 KB (round 4). Counting the full
+    # padded footprint here dropped sps=20/40 tiles and cost POCSAG 2x
+    # on hardware (round 4 regression, caught same session).
+    sel_bytes = (2 * n * CENTURY + n * sps) * 4
     budget = 14 * 2 ** 20 - sel_bytes
     if dma:
         # resident per grid step: the 2-slot DMA scratch, the batched-AGC
