@@ -164,6 +164,10 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     # GS/s) while tile=128 OOM'd by 72 KB (round 4). Counting the full
     # padded footprint here dropped sps=20/40 tiles and cost POCSAG 2x
     # on hardware (round 4 regression, caught same session).
+    # calibration is tied to the merged-matrix layout: if a section is
+    # ever added to SEL_W the estimate must be re-derived on hardware
+    # (this assert forces that, instead of a silent stale calibration)
+    assert SEL_W == 384, "pick_tile sel_bytes calibrated for SEL_W=384"
     sel_bytes = (2 * n * CENTURY + n * sps) * 4
     budget = 14 * 2 ** 20 - sel_bytes
     if dma:

@@ -195,6 +195,10 @@ class DmrPipeline:
         self.sps = sps
         self.n_centuries = n_centuries
         self.use_rrc = use_rrc  # False = input is already RRC-filtered
+        # the filter design this pipeline applies, exposed as data so
+        # drivers (runtime/tracked_bank._flush_demod) never dispatch on
+        # the class name — subclasses inherit or override the attribute
+        self.rrc_design = WIDE_RRC if use_rrc else None
         self.symbols_per_block = n_centuries * 100
 
     def init_state(self) -> DmrPipelineState:

@@ -68,6 +68,7 @@ class FskPipeline:
         if sps is not None:
             self.sps = sps
         self.rrc = rrc
+        self.rrc_design = rrc  # uniform driver-facing attribute
         self.n_centuries = n_centuries
         self.symbols_per_block = n_centuries * 100
 

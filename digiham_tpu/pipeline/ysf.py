@@ -135,6 +135,8 @@ class YsfPipeline:
         self.sps = sps
         self.n_centuries = n_centuries
         self.use_rrc = use_rrc  # False = input is already RRC-filtered
+        # exposed as data so drivers never dispatch on the class name
+        self.rrc_design = WIDE_RRC if use_rrc else None
         self.symbols_per_block = n_centuries * 100
 
     def init_state(self) -> YsfPipelineState:

@@ -225,10 +225,13 @@ class MultiStreamBank:
 
     def restore(self, blob: bytes) -> None:
         d = pickle.loads(blob)
-        if (d["channels"], d["n_procs"]) != (self.channels, self.n_procs):
+        if (d.get("protocol", self.protocol), d["channels"],
+                d["n_procs"]) != (self.protocol, self.channels,
+                                  self.n_procs):
             raise ValueError(
-                f"snapshot is {d['channels']}ch/{d['n_procs']}proc, bank "
-                f"is {self.channels}ch/{self.n_procs}proc")
+                f"snapshot is {d.get('protocol')}/{d['channels']}ch/"
+                f"{d['n_procs']}proc, bank is {self.protocol}/"
+                f"{self.channels}ch/{self.n_procs}proc")
         for w, shard in enumerate(d["shards"]):
             self._send(w, ("restore", shard))
         for w in range(self.n_procs):

@@ -78,6 +78,7 @@ def test_multistream_stage_merges_into_headline():
               "BENCH_SKIP_PROBE": "1",
               "BENCH_MULTISTREAM": "force",
               "BENCH_MULTISTREAM_PROCS": "2",
+              "BENCH_MS_BACKOFF": "0",  # deterministic: one attempt
               "BENCH_MS_UNROLL": "4", "BENCH_MS_CENTURIES": "1"},
              timeout=900)
     assert r.returncode == 0, (r.stderr[-1500:], r.stdout[-500:])
@@ -88,3 +89,29 @@ def test_multistream_stage_merges_into_headline():
     assert ms["n_procs"] == 2
     assert ms["aggregate_msps"] > 0
     assert ms["aggregate_vs_baseline"] > 0
+    # round-5 collapse-guard contract: diagnostics always present
+    assert "stable" in ms
+    assert len(ms["per_proc_wall_s"]) == 2
+
+
+def test_ms_verdict_classification():
+    """The collapse classifier: certified-shaped runs are stable; the
+    round-4 driver artifact (739 MS/s at 8x64 with single-stream 6585)
+    and uneven-wall collapses are flagged with a reason."""
+    sys.path.insert(0, os.path.dirname(BENCH))
+    import bench
+
+    good = {"n_procs": 8, "aggregate_msps": 36305.0,
+            "per_proc_wall_s": [8.1, 8.3, 8.2, 8.0, 8.4, 8.1, 8.2, 8.3]}
+    assert bench._ms_verdict(good, 6774.0) == "stable"
+    # the BENCH_r04.json failure mode: healthy-looking walls, collapsed
+    # aggregate far below the no-overlap bound
+    slow = {"n_procs": 8, "aggregate_msps": 739.1,
+            "per_proc_wall_s": [60.0] * 8}
+    assert "aggregate" in bench._ms_verdict(slow, 6585.0)
+    # the documented 8x128 collapse mode: uneven 2.7-27 s walls
+    uneven = {"n_procs": 8, "aggregate_msps": 20000.0,
+              "per_proc_wall_s": [2.7, 3.0, 3.1, 2.9, 26.9, 3.2, 3.0, 2.8]}
+    assert "uneven" in bench._ms_verdict(uneven, 6774.0)
+    err = {"n_procs": 8, "unroll": 64, "error": "timeout>1500s"}
+    assert bench._ms_verdict(err, 6774.0) == "timeout>1500s"

@@ -119,6 +119,45 @@ def test_symbol_channel_bank_flush(tmp_path):
     assert out[0] == want and out[1] == want and len(want) > 0
 
 
+def test_subclassed_pipeline_flush_parity():
+    """_flush_demod must dispatch on the pipeline's rrc_design ATTRIBUTE,
+    not its class name: a subclassed (renamed) DmrPipeline flushes its
+    tail byte-identically to the plain one. Under the old
+    type(...).__name__ dispatch the subclass silently skipped the RRC
+    stage on the flushed tail (round-4 VERDICT weak #8)."""
+    from digiham_tpu.pipeline import DmrPipeline
+    from digiham_tpu.runtime.tracked_bank import TrackedChannelBank
+    from dmr_synth import voice_frame
+
+    class RenamedDmrPipeline(DmrPipeline):
+        pass
+
+    levels = np.array([1.0, 3.0, -1.0, -3.0]) / 3.0
+    payload = np.tile([2, 0, 3, 1], 27)
+    frames = [voice_frame(s % 2, payload, sync=True) for s in range(9)]
+    dibits = np.concatenate([np.zeros(40, np.uint8)] + frames)
+    rng = np.random.default_rng(11)
+    sig = (np.repeat(levels[dibits], 10) * 1000
+           + rng.normal(0, 60, len(dibits) * 10)).astype(np.float32)
+    # abrupt end mid-frame: the last frames live in the buffered tail
+    # and only reach the decoder through _flush_demod
+    row = sig[None, :]
+
+    def run(cls):
+        out = [b""]
+        bank = TrackedChannelBank(
+            cls(channels=1, sps=10, n_centuries=2),
+            on_output=lambda c, d: out.__setitem__(0, out[0] + d))
+        for lo in range(0, row.shape[1], 4096):
+            bank.push(row[:, lo:lo + 4096])
+        bank.flush()
+        return out[0]
+
+    base, sub = run(DmrPipeline), run(RenamedDmrPipeline)
+    assert len(base) > 0
+    assert sub == base
+
+
 def test_cli_demod_flush_matches_reference_binary(tmp_path):
     """The fsk_demodulator CLI drains its tail at EOF: byte-identical
     symbol stream to the reference binary on UNPADDED input."""

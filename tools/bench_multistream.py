@@ -9,8 +9,16 @@ as N grows; if sessions pipeline (e.g. RTT of one overlaps compute of
 another), aggregate rises toward N x single-process — the
 multi-stream serving model.
 
+Round-4 finding: the sweet spot (8 procs x unroll 64) COLLAPSED in the
+driver's unattended run (739 MS/s vs 36,305 certified — uneven walls,
+the 8x128 collapse mode at 8x64). This tool therefore reports per-proc
+walls + per-rep times so a collapse is diagnosable from the artifact,
+and bench.py's wrapper detects collapse and retries at smaller configs.
+
 Usage: python tools/bench_multistream.py [n_procs]
-Prints one JSON line: single-process and aggregate samples/s.
+Env: BENCH_PROTOCOL=dmr|ysf|nxdn|dstar|pocsag (default dmr),
+     BENCH_UNROLL / BENCH_CENTURIES / BENCH_REPS / BENCH_CHANNELS.
+Prints one JSON line: aggregate samples/s + per-proc diagnostics.
 """
 import json
 import multiprocessing as mp
@@ -19,9 +27,34 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+GO_FILE = "/tmp/multistream_go"
 
 
-def _worker(rank, reps, unroll, centuries, q):
+def _make_pipe(protocol, channels, centuries):
+    """Per-protocol fused pipeline at its production sps (same configs
+    as tools/bench_protocols.py; centuries scales the block)."""
+    from digiham_tpu.pipeline import (DmrPipeline, FskPipeline,
+                                      NxdnPipeline, YsfPipeline)
+    if protocol == "dmr":
+        return DmrPipeline(channels=channels, sps=10, n_centuries=centuries)
+    if protocol == "ysf":
+        return YsfPipeline(channels=channels, sps=10, n_centuries=centuries)
+    if protocol == "nxdn":
+        return NxdnPipeline(channels=channels, sps=20,
+                            n_centuries=centuries)
+    if protocol == "dstar":
+        return FskPipeline(channels=channels, protocol="dstar",
+                           n_centuries=centuries)
+    if protocol == "pocsag":
+        return FskPipeline(channels=channels, protocol="pocsag",
+                           n_centuries=centuries)
+    raise ValueError(f"unknown protocol {protocol!r}")
+
+
+def _worker(rank, reps, unroll, centuries, protocol, q):
     os.environ.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache")
     import jax
     if os.environ.get("BENCH_PLATFORM"):
@@ -33,11 +66,10 @@ def _worker(rank, reps, unroll, centuries, q):
     except Exception:
         pass
     import jax.numpy as jnp
-    from digiham_tpu.pipeline import DmrPipeline
 
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
-    sps = 10
-    pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=centuries)
+    pipe = _make_pipe(protocol, channels, centuries)
+    sps = pipe.sps
     L = centuries * (100 * sps + 1) + 8
     seed_base = (int(time.time()) + rank * 997) % 1000000
     state0 = pipe.init_state()
@@ -46,7 +78,7 @@ def _worker(rank, reps, unroll, centuries, q):
     def step_k(seed, state0):
         stride = 512
         state = state0
-        acc = jnp.int32(0)
+        acc = jnp.float32(0)
         base = jax.random.normal(
             jax.random.key(seed),
             (channels, L + stride * (unroll - 1)), jnp.float32) * 100
@@ -55,54 +87,65 @@ def _worker(rank, reps, unroll, centuries, q):
             x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
                                      axis=1)
             out, state = pipe.step(x, state)
-            acc = acc + out["dibits"].astype(jnp.int32).sum()
+            acc = acc + sum(jnp.sum(v.astype(jnp.float32))
+                            for v in jax.tree.leaves(out))
             state.demod.pos = jnp.zeros_like(state.demod.pos)
         return acc + state.demod.offset.sum()
 
     for w in range(2):
-        int(step_k(seed_base + 900000 + w, state0))
+        float(step_k(seed_base + 900000 + w, state0))
     q.put(("ready", rank))
     # barrier-ish: wait for the go file
-    while not os.path.exists("/tmp/multistream_go"):
+    while not os.path.exists(GO_FILE):
         time.sleep(0.05)
+    rep_times = []
     t0 = time.perf_counter()
     for r in range(reps):
-        int(step_k(seed_base + r + 1, state0))
+        t1 = time.perf_counter()
+        float(step_k(seed_base + r + 1, state0))
+        rep_times.append(time.perf_counter() - t1)
     q.put(("done", rank, time.perf_counter() - t0,
-           reps * unroll * channels * centuries * 1000))
+           reps * unroll * channels * centuries * 100 * sps, rep_times))
 
 
 def main(n_procs=2):
     reps = int(os.environ.get("BENCH_REPS", "6"))
     unroll = int(os.environ.get("BENCH_UNROLL", "32"))
     centuries = int(os.environ.get("BENCH_CENTURIES", "16"))
+    protocol = os.environ.get("BENCH_PROTOCOL", "dmr")
     try:
-        os.remove("/tmp/multistream_go")
+        os.remove(GO_FILE)
     except FileNotFoundError:
         pass
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
     procs = [ctx.Process(target=_worker,
-                         args=(r, reps, unroll, centuries, q))
+                         args=(r, reps, unroll, centuries, protocol, q))
              for r in range(n_procs)]
     for p in procs:
         p.start()
     for _ in range(n_procs):
         msg = q.get(timeout=3600)
         assert msg[0] == "ready", msg
-    open("/tmp/multistream_go", "w").write("go")
+    open(GO_FILE, "w").write("go")
     results = [q.get(timeout=3600) for _ in range(n_procs)]
     for p in procs:
         p.join()
+    results.sort(key=lambda r: r[1])  # by rank
     walls = [r[2] for r in results]
     samples = sum(r[3] for r in results)
     agg = samples / max(walls)
+    rep_max = [max(r[4]) for r in results]
     print(json.dumps({
-        "metric": "dmr_pipeline_multistream",
+        "metric": f"{protocol}_pipeline_multistream",
+        "protocol": protocol,
         "n_procs": n_procs,
         "aggregate_msps": round(agg / 1e6, 1),
         "per_proc_wall_s": [round(w, 3) for w in walls],
+        "wall_ratio": round(max(walls) / min(walls), 2),
+        "per_proc_max_rep_s": [round(t, 3) for t in rep_max],
         "unroll": unroll,
+        "centuries": centuries,
         "reps": reps,
     }))
 
