@@ -33,59 +33,6 @@ def pallas_fir_available() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
-def pallas_fir(x_tc: jnp.ndarray, taps: jnp.ndarray,
-               block_t: int = 512, interpret: bool = False) -> jnp.ndarray:
-    """FIR over a [T, C] block (time-major, channels in lanes).
-
-    x_tc: [T + ntaps - 1, C] float32 — the leading ``ntaps-1`` rows are
-    the overlap-save history.
-    taps: [ntaps] float32 (gain already folded in).
-    Returns y [T, C] with y[t] = sum_j taps[j] * x[t + j].
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    ntaps = taps.shape[0]
-    halo = ntaps - 1
-    T = x_tc.shape[0] - halo
-    C = x_tc.shape[1]
-    n_blocks = pl.cdiv(T, block_t)
-    T_pad = n_blocks * block_t
-    if T_pad != T:
-        x_tc = jnp.pad(x_tc, ((0, T_pad - T), (0, 0)))
-
-    def kernel(taps_ref, x_hbm, y_ref, scratch, sem):
-        i = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * block_t, block_t + halo), :],
-            scratch, sem)
-        dma.start()
-        dma.wait()
-        acc = jnp.zeros((block_t, C), jnp.float32)
-        for j in range(ntaps):
-            acc = acc + taps_ref[j] * scratch[j:j + block_t, :]
-        y_ref[:, :] = acc
-
-    y = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_t, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, C), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((block_t + halo, C), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(taps, x_tc)
-    return y[:T]
-
-
 _FIR_CHUNK = 512  # output lanes per inner iteration (128-aligned)
 
 
@@ -108,13 +55,13 @@ def pallas_fir_cmajor(x: jnp.ndarray, taps: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """FIR over a [C, T + ntaps - 1] channel-major block (time in lanes).
 
-    Unlike :func:`pallas_fir` (time-major), this layout matches the
-    pipeline's native [channels, time] arrays, eliminating the two 16 MB
-    transposes around the kernel, and rides channels on sublanes so any
-    channels % 8 == 0 bank qualifies (the time-major kernel needs
-    channels % 128 == 0 for lane tiling). The taps loop accumulates
-    ascending-j like pallas_fir, so outputs are bit-identical between
-    the two kernels.
+    This layout matches the pipeline's native [channels, time] arrays (no
+    transposes around the kernel) and rides channels on sublanes so any
+    channels % 8 == 0 bank qualifies. A time-major twin (channels in
+    lanes) existed through round 4 for A/B only; the A/B is decided —
+    the banded-matmul MXU path (dsp.rrc) is the production default and
+    this kernel is the certified non-MXU fallback — so the twin was
+    retired (docs/ARCHITECTURE.md variant matrix).
 
     Structure: a fori_loop walks 512-lane output chunks (dynamic ref
     slices at provably 128-aligned offsets) and the taps accumulate over
@@ -170,19 +117,13 @@ def pallas_fir_cmajor(x: jnp.ndarray, taps: jnp.ndarray,
 
 
 def rrc_filter_block_pallas(samples: jnp.ndarray, history: jnp.ndarray,
-                            taps: np.ndarray, interpret: bool = False,
-                            layout: str = "cmajor"):
+                            taps: np.ndarray, interpret: bool = False):
     """[C, T] channel-major entry point for the Pallas FIR.
 
     history: [C, ntaps-1] previous samples (RrcState.history).
-    layout: "cmajor" (default — direct [C, T] kernel) or "tmajor"
-    (transpose -> time-major kernel -> transpose; kept for A/B benches).
     Returns (y [C, T], new_history [C, ntaps-1]).
     """
     x = jnp.concatenate([history, samples], axis=-1)  # [C, T + ntaps - 1]
-    if layout == "cmajor":
-        y = pallas_fir_cmajor(x, jnp.asarray(taps), interpret=interpret)
-    else:
-        y = pallas_fir(x.T, jnp.asarray(taps), interpret=interpret).T
+    y = pallas_fir_cmajor(x, jnp.asarray(taps), interpret=interpret)
     ntaps = len(taps)
     return y, x[:, x.shape[-1] - (ntaps - 1):]

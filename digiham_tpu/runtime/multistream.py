@@ -40,6 +40,19 @@ import numpy as np
 _PROTOCOLS = ("dmr", "ysf", "nxdn", "dstar", "pocsag")
 
 
+class WorkerDied(RuntimeError):
+    """A MultiStreamBank worker process exited. ``worker`` is its index.
+
+    Raised to the caller in fail-stop mode (the default); consumed
+    internally by the supervisor in ``supervise=True`` mode."""
+
+    def __init__(self, worker: int, pid, exitcode):
+        self.worker = worker
+        super().__init__(
+            f"MultiStreamBank worker {worker} (pid {pid}) died "
+            f"with exitcode {exitcode}")
+
+
 def _build_bank(protocol: str, channels: int, pipeline_kwargs: dict,
                 slot_filter: int, on_output):
     """Build a TrackedChannelBank for `protocol` (worker-side)."""
@@ -139,11 +152,22 @@ class MultiStreamBank:
     worker_init(bank): optional callable run once in each worker after
         bank construction (attach meta writers, warm caches). Must be
         picklable (module-level function).
+    supervise: False (default) = fail-stop — a dead worker raises
+        WorkerDied and the bank is unusable (the reference's semantics:
+        a dead pipeline stage kills the shell pipeline). True = elastic:
+        a dead worker is respawned, restored from the last parent-held
+        composite snapshot, and the sample blocks pushed since are
+        replayed with already-emitted bytes suppressed — the caller's
+        output stream stays byte-identical (SURVEY §5 failure-detection/
+        elastic-recovery at the process level).
+    replay_limit: supervised mode re-snapshots every this-many pushes,
+        bounding both parent memory and respawn replay cost.
     """
 
     def __init__(self, protocol: str = "dmr", channels: int = 256,
                  n_procs: int = 4, on_output=None, slot_filter: int = 3,
-                 pipeline_kwargs: dict | None = None, worker_init=None):
+                 pipeline_kwargs: dict | None = None, worker_init=None,
+                 supervise: bool = False, replay_limit: int = 8):
         if channels % n_procs:
             raise ValueError(
                 f"{channels} channels not divisible by {n_procs} workers")
@@ -152,19 +176,41 @@ class MultiStreamBank:
         self.n_procs = n_procs
         self.on_output = on_output
         self._per = channels // n_procs
-        ctx = mp.get_context("spawn")  # fresh CPython => fresh jax client
-        self._conns, self._procs = [], []
+        self._spawn_args = (protocol, self._per, pipeline_kwargs,
+                            slot_filter, worker_init)
+        self._ctx = mp.get_context("spawn")  # fresh CPython => fresh jax
+        self._conns = [None] * n_procs
+        self._procs = [None] * n_procs
         for w in range(n_procs):
-            parent, child = ctx.Pipe()
-            p = ctx.Process(
-                target=_worker,
-                args=(child, protocol, self._per, pipeline_kwargs,
-                      slot_filter, worker_init),
-                daemon=True)
-            p.start()
-            child.close()
-            self._conns.append(parent)
-            self._procs.append(p)
+            self._spawn(w)
+        # -- supervision (opt-in elastic recovery; fail-stop otherwise) --
+        # Parent-held recovery state: the last composite snapshot's
+        # per-worker shards, the sample blocks pushed since, and how many
+        # output bytes each channel already emitted since that snapshot
+        # (replay after a respawn re-produces those bytes; the counters
+        # suppress them so the caller-visible stream stays byte-identical).
+        self.supervise = supervise
+        self.replay_limit = replay_limit
+        self._base_shards = None
+        self._replay = []
+        self._emitted = [[0] * self._per for _ in range(n_procs)]
+        if supervise:
+            self._base_shards = self._snapshot_shards()
+
+    def _spawn(self, w: int) -> None:
+        """(Re)start worker w; replaces its pipe + process slot."""
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(target=_worker,
+                              args=(child, *self._spawn_args), daemon=True)
+        p.start()
+        child.close()
+        if self._conns[w] is not None:
+            try:
+                self._conns[w].close()
+            except OSError:
+                pass
+        self._conns[w] = parent
+        self._procs[w] = p
 
     # -- core ------------------------------------------------------------
     def _send(self, w, msg):
@@ -172,9 +218,7 @@ class MultiStreamBank:
             self._conns[w].send(msg)
         except (BrokenPipeError, OSError) as e:
             proc = self._procs[w]
-            raise RuntimeError(
-                f"MultiStreamBank worker {w} (pid {proc.pid}) died "
-                f"with exitcode {proc.exitcode}") from e
+            raise WorkerDied(w, proc.pid, proc.exitcode) from e
 
     def _recv(self, w):
         """recv from worker w, failing loudly if it died (a bare recv
@@ -182,17 +226,54 @@ class MultiStreamBank:
         conn, proc = self._conns[w], self._procs[w]
         while not conn.poll(1.0):
             if not proc.is_alive():
-                raise RuntimeError(
-                    f"MultiStreamBank worker {w} (pid {proc.pid}) died "
-                    f"with exitcode {proc.exitcode}")
-        return conn.recv()
+                raise WorkerDied(w, proc.pid, proc.exitcode)
+        try:
+            return conn.recv()
+        except EOFError:
+            raise WorkerDied(w, proc.pid, proc.exitcode) from None
+
+    def _emit(self, w, outs):
+        """Dispatch one worker's outputs with global channel ids,
+        keeping the since-snapshot byte accounting current."""
+        for local_ch, payload in outs:
+            self._emitted[w][local_ch] += len(payload)
+            if self.on_output is not None:
+                self.on_output(w * self._per + local_ch, payload)
 
     def _gather(self):
         """Collect one reply per worker; dispatch outputs with global ids."""
         for w in range(self.n_procs):
-            for local_ch, payload in self._recv(w):
-                if self.on_output is not None:
-                    self.on_output(w * self._per + local_ch, payload)
+            self._emit(w, self._recv(w))
+
+    def _shard_msg(self, msg, w):
+        """Per-worker view of a broadcast message (push carries the full
+        [channels, L] block; each worker gets only its channel rows)."""
+        if msg[0] == "push":
+            return ("push", msg[1][w * self._per:(w + 1) * self._per])
+        return msg
+
+    def _roundtrip(self, msg) -> None:
+        """Send msg to every worker, then gather — the supervised path
+        recovers any worker that dies at either end; fail-stop re-raises."""
+        dead = []
+        for w in range(self.n_procs):
+            try:
+                self._send(w, self._shard_msg(msg, w))
+            except WorkerDied:
+                if not self.supervise:
+                    raise
+                dead.append(w)
+        for w in range(self.n_procs):
+            if w in dead:
+                continue
+            try:
+                self._emit(w, self._recv(w))
+            except WorkerDied:
+                if not self.supervise:
+                    raise
+                dead.append(w)
+        for w in dead:
+            self._recover(w, tail_msg=msg if msg[0] == "flush" else None)
 
     def push(self, samples: np.ndarray) -> None:
         """Feed [channels, L] float samples; all shards run CONCURRENTLY
@@ -201,26 +282,76 @@ class MultiStreamBank:
         if samples.shape[0] != self.channels:
             raise ValueError(
                 f"expected {self.channels} rows, got {samples.shape[0]}")
-        for w in range(self.n_procs):
-            self._send(w, ("push",
-                           samples[w * self._per:(w + 1) * self._per]))
-        self._gather()
+        if self.supervise:
+            if len(self._replay) >= self.replay_limit:
+                self._rebase()
+            self._replay.append(samples)
+        self._roundtrip(("push", samples))
 
     def flush(self) -> None:
+        self._roundtrip(("flush",))
+
+    # -- supervision --------------------------------------------------------
+    def _snapshot_shards(self) -> list:
         for w in range(self.n_procs):
-            self._send(w, ("flush",))
-        self._gather()
+            self._send(w, ("snapshot",))
+        return [self._recv(w) for w in range(self.n_procs)]
+
+    def _rebase(self) -> None:
+        """Fold the replay buffer into a fresh composite snapshot (bounds
+        parent memory and respawn replay cost to ``replay_limit`` blocks)."""
+        try:
+            self._base_shards = self._snapshot_shards()
+        except WorkerDied as e:
+            # recover the casualty first (replaying the OLD buffer), then
+            # retry once; a second death mid-rebase is a real fault
+            self._recover(e.worker)
+            self._base_shards = self._snapshot_shards()
+        self._replay = []
+        self._emitted = [[0] * self._per for _ in range(self.n_procs)]
+
+    def _recover(self, w: int, tail_msg=None) -> None:
+        """Supervised respawn: restart worker w, restore its shard from
+        the last composite snapshot, replay every sample block pushed
+        since, and re-emit only the output bytes the caller has not seen
+        (byte-identical continuation — tests/test_multistream.py kills a
+        worker mid-stream and asserts stream equality).
+
+        tail_msg: a non-push message (flush) the worker died on; re-sent
+        after the replay brings its state back to the pre-flush point.
+
+        Caveat: worker-side meta writers attached via ``worker_init`` see
+        replayed blocks again; supervision is designed for payload-output
+        deployments (or idempotent writers)."""
+        lo, hi = w * self._per, (w + 1) * self._per
+        self._spawn(w)
+        self._send(w, ("restore", self._base_shards[w]))
+        self._recv(w)
+        emitted = self._emitted[w]
+        seen = [0] * self._per
+        for block in self._replay:
+            self._send(w, ("push", np.asarray(block)[lo:hi]))
+            for local_ch, payload in self._recv(w):
+                start = seen[local_ch]
+                end = start + len(payload)
+                seen[local_ch] = end
+                if end > emitted[local_ch]:
+                    fresh = payload[max(0, emitted[local_ch] - start):]
+                    emitted[local_ch] = end
+                    if self.on_output is not None:
+                        self.on_output(lo + local_ch, fresh)
+        if tail_msg is not None:
+            self._send(w, tail_msg)
+            self._emit(w, self._recv(w))
 
     # -- checkpoint contract ----------------------------------------------
     def snapshot(self) -> bytes:
         """Composite mid-stream checkpoint: one blob per worker shard."""
-        for w in range(self.n_procs):
-            self._send(w, ("snapshot",))
         return pickle.dumps({
             "protocol": self.protocol,
             "channels": self.channels,
             "n_procs": self.n_procs,
-            "shards": [self._recv(w) for w in range(self.n_procs)],
+            "shards": self._snapshot_shards(),
         })
 
     def restore(self, blob: bytes) -> None:
@@ -236,6 +367,10 @@ class MultiStreamBank:
             self._send(w, ("restore", shard))
         for w in range(self.n_procs):
             self._recv(w)
+        if self.supervise:  # the restored state is the new recovery base
+            self._base_shards = list(d["shards"])
+            self._replay = []
+            self._emitted = [[0] * self._per for _ in range(self.n_procs)]
 
     # -- lifecycle ---------------------------------------------------------
     def close(self) -> None:

@@ -12,34 +12,18 @@ pytestmark = pytest.mark.skipif(not pallas_fir_available(),
                                 reason="pallas unavailable")
 
 
-@pytest.mark.parametrize("layout", ["cmajor", "tmajor"])
 @pytest.mark.parametrize("design", [WIDE_RRC, NARROW_RRC])
-def test_matches_conv_path(design, layout):
+def test_matches_conv_path(design):
     rng = np.random.default_rng(0)
     C, T = 8, 700
     x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
     hist = jnp.asarray(rng.normal(0, 1, (C, design.ntaps - 1))
                        .astype(np.float32))
     y_p, h_p = rrc_filter_block_pallas(x, hist, design.scaled_taps,
-                                       interpret=True, layout=layout)
+                                       interpret=True)
     y_c, st = rrc_filter_block(x, RrcState(hist), design)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(st.history))
-
-
-def test_layouts_bit_identical():
-    """cmajor and tmajor kernels accumulate taps in the same order, so
-    their f32 outputs must match bit-for-bit."""
-    rng = np.random.default_rng(7)
-    C, T = 8, 1200
-    x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
-    hist = jnp.asarray(rng.normal(0, 1, (C, WIDE_RRC.ntaps - 1))
-                       .astype(np.float32))
-    y_cm, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
-                                      interpret=True, layout="cmajor")
-    y_tm, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
-                                      interpret=True, layout="tmajor")
-    np.testing.assert_array_equal(np.asarray(y_cm), np.asarray(y_tm))
 
 
 @pytest.mark.parametrize("design", [WIDE_RRC, NARROW_RRC])
@@ -81,14 +65,13 @@ def test_matmul_fir_custom_design():
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("layout", ["cmajor", "tmajor"])
-def test_non_multiple_block(layout):
+def test_non_multiple_block():
     """T not a multiple of the tile size exercises the padding path."""
     rng = np.random.default_rng(1)
     C, T = 4, 513
     x = jnp.asarray(rng.normal(0, 1, (C, T)).astype(np.float32))
     hist = jnp.zeros((C, WIDE_RRC.ntaps - 1), jnp.float32)
     y_p, _ = rrc_filter_block_pallas(x, hist, WIDE_RRC.scaled_taps,
-                                     interpret=True, layout=layout)
+                                     interpret=True)
     y_c, _ = rrc_filter_block(x, RrcState(hist), WIDE_RRC)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c), atol=1e-5)

@@ -1,4 +1,4 @@
-"""TPU micro-bench: RRC FIR variants (Pallas cmajor / tmajor / XLA conv).
+"""TPU micro-bench: RRC FIR variants (MXU matmul / Pallas / XLA conv).
 
 Honest methodology (CLAUDE.md): one on-device base stream per dispatch,
 per-step overlapping lane-aligned windows, K unrolled steps per dispatch
@@ -55,12 +55,9 @@ def main():
             return acc + state.history.sum()
         return step_k
 
-    def pallas_variant(layout):
-        def fir(x, st):
-            y, h = rrc_filter_block_pallas(x, st.history, taps,
-                                           layout=layout)
-            return y, RrcState(h)
-        return fir
+    def pallas_fir(x, st):
+        y, h = rrc_filter_block_pallas(x, st.history, taps)
+        return y, RrcState(h)
 
     variants = {
         # harness floor: window read + trivial elementwise + checksum
@@ -69,8 +66,7 @@ def main():
         "tiny": lambda x, st: (x[:, :128] * 2.0, st),
         "xla-matmul": lambda x, st: _rrc_filter_block_matmul(x, st,
                                                              WIDE_RRC),
-        "pallas-cmajor": pallas_variant("cmajor"),
-        "pallas-tmajor": pallas_variant("tmajor"),
+        "pallas-cmajor": pallas_fir,
         "xla-conv": lambda x, st: rrc_filter_block(x, st, WIDE_RRC,
                                                    impl="xla"),
     }
