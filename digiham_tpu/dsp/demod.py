@@ -337,6 +337,13 @@ class _DemodNp:
     def _slice(self, average, vmin, vmax, center):
         raise NotImplementedError
 
+    def _on_century(self, var, vmin_pos, applied_offset):
+        """Instrumentation hook: called at each century boundary with the
+        per-offset timing variance vector and the decision. No-op here;
+        tools/soak_classify.py subclasses it to machine-check hardware
+        soak misses against the knife-edge classes (flat variance-valley
+        ties, slicer-boundary flips)."""
+
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Consume as many symbols as available; returns symbol array."""
         samples = np.asarray(samples, dtype=np.float32)
@@ -367,6 +374,7 @@ class _DemodNp:
                 elif self.sps // 2 <= vmin_pos < self.sps - 1:
                     self.variance_offset = -1
                 self.variance_rb_pos = 0
+                self._on_century(var, vmin_pos, self.variance_offset)
 
             self.volume_rb[self.volume_rb_pos] = window.mean(dtype=np.float32)
             self.volume_rb_pos = (self.volume_rb_pos + 1) % VOLUME_RB_SIZE

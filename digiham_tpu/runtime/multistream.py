@@ -99,14 +99,21 @@ def _worker(conn, protocol, channels, pipeline_kwargs, slot_filter,
     if plat:
         jax.config.update("jax_platforms", plat.split(",")[0])
     # persistent compile cache: without it every worker pays the full
-    # (multi-minute on the tunnel) compile on every process launch
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # (multi-minute on the tunnel) compile on every process launch.
+    # CPU workers must NOT share it: XLA:CPU AOT artifacts compiled on a
+    # different machine type load with mismatched feature sets, and a
+    # cache-hit vs fresh-compile difference changes f32 accumulation
+    # order — observed as one-dibit knife-edge flips that broke
+    # byte-identity between otherwise identical runs (round 5).
+    if not (plat or "").startswith("cpu"):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     outputs = []
     bank = _build_bank(protocol, channels, pipeline_kwargs, slot_filter,
                        on_output=lambda c, d: outputs.append((c, bytes(d))))
@@ -229,7 +236,7 @@ class MultiStreamBank:
                 raise WorkerDied(w, proc.pid, proc.exitcode)
         try:
             return conn.recv()
-        except EOFError:
+        except (EOFError, ConnectionResetError, OSError):
             raise WorkerDied(w, proc.pid, proc.exitcode) from None
 
     def _emit(self, w, outs):
@@ -293,20 +300,39 @@ class MultiStreamBank:
 
     # -- supervision --------------------------------------------------------
     def _snapshot_shards(self) -> list:
+        """One shard blob per worker. Supervised mode is fault-aware: a
+        worker dying mid-snapshot is recovered (replaying the current
+        buffer) and re-asked, PER WORKER — naive retry would re-send the
+        snapshot request to healthy workers whose replies are already
+        queued, desyncing the pipe protocol (caught by the SIGKILL test)."""
+        if not self.supervise:
+            for w in range(self.n_procs):
+                self._send(w, ("snapshot",))
+            return [self._recv(w) for w in range(self.n_procs)]
+        shards = [None] * self.n_procs
+        dead = []
         for w in range(self.n_procs):
+            try:
+                self._send(w, ("snapshot",))
+            except WorkerDied:
+                dead.append(w)
+        for w in range(self.n_procs):
+            if w in dead:
+                continue
+            try:
+                shards[w] = self._recv(w)
+            except WorkerDied:
+                dead.append(w)
+        for w in dead:
+            self._recover(w)  # replay brings it to the current position
             self._send(w, ("snapshot",))
-        return [self._recv(w) for w in range(self.n_procs)]
+            shards[w] = self._recv(w)
+        return shards
 
     def _rebase(self) -> None:
         """Fold the replay buffer into a fresh composite snapshot (bounds
         parent memory and respawn replay cost to ``replay_limit`` blocks)."""
-        try:
-            self._base_shards = self._snapshot_shards()
-        except WorkerDied as e:
-            # recover the casualty first (replaying the OLD buffer), then
-            # retry once; a second death mid-rebase is a real fault
-            self._recover(e.worker)
-            self._base_shards = self._snapshot_shards()
+        self._base_shards = self._snapshot_shards()
         self._replay = []
         self._emitted = [[0] * self._per for _ in range(self.n_procs)]
 

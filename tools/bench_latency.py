@@ -148,6 +148,8 @@ def drive(make_bank, samples_per_chan, ends_per_chan, block):
         bank.push(chunk)
         walls.append(time.perf_counter() - t0)
     unmatched = sum(len(e) for e in ends_per_chan)
+    if hasattr(bank, "close"):  # MultiStreamBank owns worker processes
+        bank.close()
     return emitted, walls, unmatched
 
 
@@ -178,6 +180,30 @@ def bench_tracked(channels, n_centuries, block, mesh=None, cps=None,
             DmrPipeline(channels=channels, sps=SPS,
                         n_centuries=n_centuries), on_output=cb)
     # warmup on a short prefix so compile time stays out of the walls
+    w_ends = [dict(s[1]) for s in streams]
+    drive(make, samples[:, :min(n * SPS, 80_000)], w_ends, block)
+    return drive(make, samples, ends, block)
+
+
+def bench_multistream(channels, n_procs, n_centuries, block, tail=2000):
+    """The production SERVING operating point (VERDICT r4 item 4):
+    MultiStreamBank at the throughput configuration — per-push wall =
+    the slowest worker's device step + gather (workers run concurrently,
+    so under saturation this measures the queueing the '756k channels'
+    README claim must be qualified with)."""
+    from digiham_tpu.runtime.multistream import MultiStreamBank
+
+    streams = [synth_stream(3000 + c, tail=tail) for c in range(channels)]
+    n = max(len(s[0]) for s in streams)
+    dots = np.tile(np.array([0, 2], np.uint8), (n + 1) // 2)
+    samples = np.stack([
+        modulate(np.concatenate([s[0], dots[:n - len(s[0])]]))
+        for s in streams])
+    ends = [dict(s[1]) for s in streams]
+
+    make = lambda cb: MultiStreamBank(
+        "dmr", channels=channels, n_procs=n_procs, on_output=cb,
+        pipeline_kwargs={"n_centuries": n_centuries, "sps": SPS})
     w_ends = [dict(s[1]) for s in streams]
     drive(make, samples[:, :min(n * SPS, 80_000)], w_ends, block)
     return drive(make, samples, ends, block)
@@ -237,6 +263,14 @@ def main():
             lat, walls, missed = bench_tracked(2, nc, block)
             rows.append(row(f"tracked[nc={nc}]", block, lat, walls,
                             missed=missed))
+
+    # MultiStreamBank at the serving operating point (nc=16, block=16k,
+    # 8 workers) — LAT_MULTISTREAM=0 skips (it spawns 8 jax processes)
+    if os.environ.get("LAT_MULTISTREAM", "1") != "0":
+        lat, walls, missed = bench_multistream(8, 8, 16, 16384)
+        rows.append(row("multistream[nc=16,procs=8]", 16384, lat, walls,
+                        missed=missed,
+                        extra={"channels": 8, "n_procs": 8}))
 
     if not HW and len(jax.devices()) >= 4:
         from digiham_tpu.parallel import make_mesh

@@ -106,8 +106,20 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q):
             state.demod.pos = jnp.zeros_like(state.demod.pos)
         return acc + state.demod.offset.sum()
 
-    for w in range(2):
-        float(step_k(seed_base + 900000 + w, state0))
+    # Warmup with retry: even after worker 0 populates the client-side
+    # persistent cache, each session still installs the executable via
+    # its own remote_compile helper, and concurrent installs can fail
+    # transiently ("response body closed" — observed NXDN/POCSAG round 5).
+    # Rank-staggered backoff de-synchronizes the retries.
+    for attempt in range(4):
+        try:
+            for w in range(2):
+                float(step_k(seed_base + 900000 + w, state0))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(2.0 + 1.5 * rank + 5.0 * attempt)
     q.put(("ready", rank))
     # barrier-ish: wait for the go file
     while not os.path.exists(GO_FILE):

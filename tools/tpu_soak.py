@@ -46,9 +46,18 @@ bank = TrackedChannelBank(pipe, on_output=lambda c, d: outputs.__setitem__(c, ou
 blocks = 0
 t0 = time.perf_counter()
 L = base.shape[0]
-for lo in range(0, L, 8192):
+
+
+def chan_noise(b, c, n):
+    # per-(block, channel) seeded noise: any channel's exact stream is
+    # reproducible after the fact for miss classification
+    return np.random.default_rng((7, b, c)).normal(0, 60, n)
+
+
+for b, lo in enumerate(range(0, L, 8192)):
     seg = base[lo:lo + 8192]
-    block = np.stack([seg + rng.normal(0, 60, seg.shape) for _ in range(C)]).astype(np.float32)
+    block = np.stack([seg + chan_noise(b, c, seg.shape[0])
+                      for c in range(C)]).astype(np.float32)
     bank.push(block)
     blocks += 1
 wall = time.perf_counter() - t0
@@ -60,5 +69,42 @@ print(f"blocks={blocks} wall={wall:.1f}s "
       f"samples={C*L/1e6:.1f}M ({C*L/wall/1e6:.1f} MS/s through host loop)")
 print(f"voice frames bit-exact: {good}/{total_frames} "
       f"({100*good/total_frames:.2f}%)")
-ok = good >= total_frames * 0.99
+
+# -- machine-classify every miss (round-4 VERDICT weak #6: no more
+# hand-narrated knife-edge attributions) ---------------------------------
+misses = total_frames - good
+if misses:
+    from soak_classify import classify_window, diff_frames, rrc_np
+    from digiham_tpu.dsp.rrc import WIDE_RRC
+    verdicts = []
+    for c in range(C):
+        d = diff_frames(outputs[c], want, expect_per_ch)
+        if not d["corrupted"] and not d["shortfall"]:
+            continue
+        noisy = np.concatenate([
+            base[lo:lo + 8192]
+            + chan_noise(b, c, min(8192, L - lo))
+            for b, lo in enumerate(range(0, L, 8192))]).astype(np.float32)
+        filt = rrc_np(noisy, WIDE_RRC)
+        # chunk k of the slot-arbitrated stream maps to the tx frame
+        # pair (2k, 2k+1); take the friendlier classification of the two
+        windows = [(2 * k, 2 * k + 1) for k in d["corrupted"]]
+        windows += [(f, f) for f in range(d["shortfall"])]  # head frames
+        for pair in windows:
+            results = []
+            for f in dict.fromkeys(pair):
+                s0 = 30 + f * 144
+                results.append(classify_window(filt, s0, s0 + 144, sps=10))
+            best = min(results,
+                       key=lambda r: r["verdict"] == "UNCLASSIFIED")
+            verdicts.append((c, pair[0], best))
+            print(f"  miss ch{c} frame~{pair[0]}: {best}")
+    kinds = [v[2]["verdict"] for v in verdicts]
+    n_knife = sum(k != "UNCLASSIFIED" for k in kinds)
+    print(f"misses_classified: {n_knife}/{len(kinds)} knife-edge "
+          f"({', '.join(sorted(set(kinds)))})")
+    unclassified = len(kinds) - n_knife
+else:
+    unclassified = 0
+ok = good >= total_frames * 0.99 and unclassified == 0
 print("TPU SOAK:", "PASS" if ok else "FAIL")
