@@ -324,6 +324,19 @@ class FramePhase(Phase):
             return
         lc_bytes = np.packbits(data_bits.astype(np.uint8)).tobytes()
         if data_type == DATA_TYPE_VOICE_LC:
+            # Optional RS(12,9) check+correct of the full LC — an opt-in
+            # IMPROVEMENT over the reference, which parses the 96 BPTC
+            # bits and ignores the 3 parity bytes (lc.cpp:8-11 TODO).
+            # Default off so golden/metadata parity vs the compiled
+            # reference binary stays byte-exact.
+            from ...utils import env_flag
+            if env_flag("DIGIHAM_DMR_RS129"):
+                from ...fec import rs129
+                ok, corrected = rs129.check(
+                    lc_bytes, mask=rs129.MASK_VOICE_LC_HEADER)
+                if not ok:
+                    return  # uncorrectable LC: drop instead of garbling
+                lc_bytes = corrected
             lc = Lc.parse_from_voice_header(lc_bytes)
             if lc is not None:
                 self._handle_lc(lc)

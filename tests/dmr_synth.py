@@ -52,8 +52,14 @@ def data_frame(slot: int, data_type: int, lc9: bytes,
     st_dibits = [(word20 >> (18 - 2 * i)) & 3 for i in range(10)]
     frame[SYNC_OFFSET - 5:SYNC_OFFSET] = st_dibits[:5]
     frame[SYNC_OFFSET + SYNC_SIZE:SYNC_OFFSET + SYNC_SIZE + 5] = st_dibits[5:]
-    # BPTC payload from 96 data bits (12 bytes: LC 9 + 3 zero)
-    data_bits = np.unpackbits(np.frombuffer(lc9 + b"\x00" * 3, np.uint8))
+    # BPTC payload from 96 data bits: LC 9 + masked RS(12,9) parity
+    # (ETSI B.3.6 — spec-true TX; the reference RX ignores the parity,
+    # ours checks it only under DIGIHAM_DMR_RS129=1)
+    from digiham_tpu.fec import rs129
+    mask = {1: rs129.MASK_VOICE_LC_HEADER,
+            2: rs129.MASK_TERMINATOR_WITH_LC}.get(data_type, 0)
+    parity = bytes(b ^ mask for b in rs129.encode(lc9))
+    data_bits = np.unpackbits(np.frombuffer(lc9 + parity, np.uint8))
     bits196 = bptc.encode(data_bits.astype(np.int64))
     dibits98 = ((bits196[0::2] << 1) | bits196[1::2]).astype(np.uint8)
     frame[CACH_SIZE:CACH_SIZE + 49] = dibits98[:49]
