@@ -298,6 +298,25 @@ class MultiStreamBank:
     def flush(self) -> None:
         self._roundtrip(("flush",))
 
+    def prewarm(self, block: int = 16384) -> None:
+        """Absorb the first-execution stall at startup instead of on the
+        first real push: push one silence block of the production size
+        through every worker (forcing compile + device-side executable
+        install — measured 80–159 s on the tunneled chip even with a
+        warm persistent cache, docs/LATENCY.md), then roll the bank back
+        to its pre-push state. Invisible to the caller: outputs from the
+        dummy block are suppressed and the snapshot/restore round-trip
+        makes the state change un-happen (asserted byte-identical in
+        tests/test_multistream.py). ``block`` should match the real
+        push size — the compiled step is shape-specific."""
+        snap = self.snapshot()
+        saved, self.on_output = self.on_output, None
+        try:
+            self.push(np.zeros((self.channels, int(block)), np.float32))
+        finally:
+            self.on_output = saved
+            self.restore(snap)
+
     # -- supervision --------------------------------------------------------
     def _snapshot_shards(self) -> list:
         """One shard blob per worker. Supervised mode is fault-aware: a

@@ -127,6 +127,31 @@ def test_multistream_snapshot_restore_midstream():
         assert _equal_mod_knife_edge(tail_a, b"".join(got_b[c])), c
 
 
+def test_prewarm_is_invisible():
+    """prewarm() compiles/installs the device step at startup (absorbing
+    the measured 80-159 s tunnel first-push stall, docs/LATENCY.md) but
+    must be invisible: exact state rollback, no outputs, and the
+    subsequent stream identical to an un-prewarmed bank's."""
+    channels, n_procs = 4, 2
+    samples, _ = _synth(channels, n_frames=6, seed=11)
+
+    got = [[] for _ in range(channels)]
+    with MultiStreamBank("dmr", channels=channels, n_procs=n_procs,
+                         on_output=lambda c, d: got[c].append(bytes(d)),
+                         pipeline_kwargs={"n_centuries": 2}) as ms:
+        snap0 = ms.snapshot()
+        ms.prewarm(4096)
+        assert ms.snapshot() == snap0          # rollback is exact
+        assert all(len(g) == 0 for g in got)   # dummy outputs suppressed
+        for lo in range(0, samples.shape[1], 4096):
+            ms.push(samples[:, lo:lo + 4096])
+
+    ref = _run_single(samples, channels)
+    for c in range(channels):
+        assert _equal_mod_knife_edge(b"".join(got[c]), b"".join(ref[c])), c
+    assert any(len(g) > 0 for g in ref)
+
+
 def test_multistream_rejects_bad_shapes():
     with pytest.raises(ValueError):
         MultiStreamBank("dmr", channels=5, n_procs=2)
