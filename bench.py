@@ -163,16 +163,22 @@ def _with_multistream(line: str) -> str:
         # BENCH_MS_BACKOFF=0 pins the stage to the single requested
         # config (still classified + diagnosed, never silently retried).
         lo_u = max(u // 2, 1)
-        ladder = [(n, u), (max(n // 2, 1), u), (n, lo_u),
+        # The certified point is retried ONCE before backing off: a
+        # one-time per-session stall (idle-session executable eviction,
+        # seen as a single 11 s rank-0 wall in the r5 validation run)
+        # pollutes exactly one attempt and vanishes on retry — backing
+        # off immediately would under-report the chip by ~2x.
+        ladder = [(n, u), (n, u), (max(n // 2, 1), u), (n, lo_u),
                   (max(n // 2, 1), lo_u)]
         if os.environ.get("BENCH_MS_BACKOFF", "1") == "0":
             ladder = ladder[:1]
         seen, attempts = set(), []
         best, best_verdict = None, None
-        for np_, u_ in ladder:
+        for idx, (np_, u_) in enumerate(ladder):
             if (np_, u_) in seen:
                 continue
-            seen.add((np_, u_))
+            if idx != 0:  # rung 0 stays unseen so its retry (rung 1) runs
+                seen.add((np_, u_))
             ms = _run_multistream_once(np_, u_, env_base, limit)
             verdict = _ms_verdict(ms, single)
             attempts.append({"n_procs": np_, "unroll": u_,

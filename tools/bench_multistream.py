@@ -121,9 +121,20 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q):
                 raise
             time.sleep(2.0 + 1.5 * rank + 5.0 * attempt)
     q.put(("ready", rank))
-    # barrier-ish: wait for the go file
+    # Barrier-ish: wait for the go file — WITH a keepalive. Under the
+    # staggered launch, worker 0 warms first and then idles for the
+    # minutes the other ranks take to warm; its server-side session goes
+    # cold and the re-install stall lands in the first TIMED rep
+    # (observed in BENCH_r05 validation: an 11.3 s rank-0 wall vs 0.38 s
+    # siblings, misclassified as uneven-walls collapse). Re-executing
+    # the same program every ~10 s keeps every session hot until GO.
+    last, ka = time.perf_counter(), 0
     while not os.path.exists(GO_FILE):
         time.sleep(0.05)
+        if time.perf_counter() - last > 10.0:
+            ka += 1
+            float(step_k(seed_base + 800000 + ka, state0))
+            last = time.perf_counter()
     rep_times = []
     t0 = time.perf_counter()
     for r in range(reps):
