@@ -76,3 +76,67 @@ def test_diff_frames():
     assert d == {"corrupted": [3], "shortfall": 1, "emitted": 5}
     d = diff_frames(want * 6, want, 6)
     assert d == {"corrupted": [], "shortfall": 0, "emitted": 6}
+
+
+def test_classify_root_episode_grouping():
+    """A cascade miss is attributed to the FIRST symbol of the contiguous
+    device-vs-oracle divergence episode containing the frame; isolated
+    upstream flips (gap >= one century) are NOT blamed — slicer
+    decisions don't feed back into the AGC/timing state."""
+    from soak_classify import classify_root
+    orc = np.zeros(10000, np.uint8)
+    dev = orc.copy()
+    dev[200] ^= 1                                  # isolated: not blamed
+    dev[5000] ^= 1; dev[5040] ^= 1; dev[5120] ^= 1  # the episode
+    margins = [1.0] * 10000
+    margins[5000] = 1e-5                           # root IS knife-edge
+    cents = [(100, 1.0, 0)]
+    r = classify_root(dev, orc, margins, cents, 5100, 5244)
+    assert r["root_symbol"] == 5000
+    assert r["verdict"] == "slicer-boundary"
+
+
+def test_classify_root_timing_flip():
+    """Root at a tied variance valley classifies flat-valley-tie even
+    when every slicer margin along the episode is healthy."""
+    from soak_classify import classify_root
+    orc = np.zeros(10000, np.uint8)
+    dev = orc.copy()
+    dev[5000:5144] ^= 1                            # slewed transient
+    margins = [1.0] * 10000
+    cents = [(100, 1.0, 0), (4950, 1e-5, 1)]       # tie feeds the root
+    r = classify_root(dev, orc, margins, cents, 5100, 5244)
+    assert r["root_symbol"] == 5000
+    assert r["verdict"] == "flat-valley-tie"
+
+
+def test_classify_root_no_divergence_returns_none():
+    from soak_classify import classify_root
+    orc = np.zeros(1000, np.uint8)
+    assert classify_root(orc.copy(), orc, [1.0] * 1000,
+                         [(10, 1.0, 0)], 500, 644) is None
+
+
+def test_classify_root_real_bug_stays_unclassified():
+    """A divergence whose episode root has healthy margins AND healthy
+    feeding valleys must stay UNCLASSIFIED — a real bug."""
+    from soak_classify import classify_root
+    orc = np.zeros(10000, np.uint8)
+    dev = orc.copy()
+    dev[5050] ^= 1
+    r = classify_root(dev, orc, [1.0] * 10000, [(100, 1.0, 0)],
+                      5040, 5184)
+    assert r["verdict"] == "UNCLASSIFIED"
+
+
+def test_noise_errors_counts_oracle_vs_tx():
+    """A window where the host oracle itself misdecodes (oracle != TX)
+    is a channel-noise error — identical on every backend — and must be
+    classified before any divergence logic runs."""
+    from soak_classify import noise_errors
+    tx = np.zeros(1000, np.uint8)
+    orc = tx.copy()
+    orc[500] = 2
+    orc[510] = 1
+    assert noise_errors(orc, tx, 432, 576) == 2
+    assert noise_errors(orc, tx, 0, 144) == 0

@@ -131,6 +131,8 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q):
     last, ka = time.perf_counter(), 0
     while not os.path.exists(GO_FILE):
         time.sleep(0.05)
+        if os.getppid() == 1:
+            return  # parent died: don't orphan-hammer the chip forever
         if time.perf_counter() - last > 10.0:
             ka += 1
             float(step_k(seed_base + 800000 + ka, state0))

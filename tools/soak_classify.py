@@ -75,27 +75,31 @@ class _InstrumentedFsk(FskDemodNp):
     _on_century = _InstrumentedGfsk._on_century
 
 
-def classify_window(samples: np.ndarray, sym_lo: int, sym_hi: int,
-                    sps: int = 10, mode: str = "gfsk",
-                    invert: bool = False) -> dict:
-    """Classify a divergence whose symbols span [sym_lo, sym_hi).
+def oracle_trace(samples: np.ndarray, sps: int = 10, mode: str = "gfsk",
+                 invert: bool = False):
+    """Demodulate the full stream through the instrumented oracle.
 
-    samples: the channel's FULL filtered sample stream (the exact floats
-    the device demodulated — regenerate with the soak's per-(block,
-    channel) seeds). Returns a dict with ``verdict`` plus the evidence
-    (minimum slicer margin in the window, flattest feeding valley).
+    Returns (dibits, margins, centuries) — the oracle's symbol stream
+    (bit-exact vs the device's XLA path; hardware differs only at
+    reassociation flips), per-symbol threshold margins, and the century
+    decision log [(symbol_index, valley_flatness, applied_offset)].
     """
     d = (_InstrumentedGfsk(sps) if mode == "gfsk"
          else _InstrumentedFsk(sps, invert=invert))
-    d.process(np.asarray(samples, np.float32))
-    margins = d.margins[sym_lo:sym_hi]
-    min_margin = min(margins) if margins else float("inf")
+    dibits = d.process(np.asarray(samples, np.float32))
+    return dibits, d.margins, d.centuries
+
+
+def _verdict(margins, centuries, sym_lo, sym_hi):
+    """Knife-edge verdict for the symbol span [sym_lo, sym_hi)."""
+    window = margins[sym_lo:sym_hi]
+    min_margin = min(window) if window else float("inf")
     # timing decided at century boundaries feeding the window: include
     # the boundary just before sym_lo (its slew shifts these symbols)
-    feeding = [flat for (at, flat, _off) in d.centuries
+    feeding = [flat for (at, flat, _off) in centuries
                if sym_lo - 100 <= at <= sym_hi]
     min_flat = min(feeding) if feeding else float("inf")
-    first_update = d.centuries[0][0] if d.centuries else 0
+    first_update = centuries[0][0] if centuries else 0
     if min_margin < SLICER_TOL:
         verdict = "slicer-boundary"
     elif min_flat < VALLEY_TOL:
@@ -109,6 +113,74 @@ def classify_window(samples: np.ndarray, sym_lo: int, sym_hi: int,
             "min_valley_flatness": (round(min_flat, 8)
                                     if feeding else None),
             "symbols": [sym_lo, sym_hi]}
+
+
+def classify_window(samples: np.ndarray, sym_lo: int, sym_hi: int,
+                    sps: int = 10, mode: str = "gfsk",
+                    invert: bool = False) -> dict:
+    """Classify a divergence whose symbols span [sym_lo, sym_hi).
+
+    samples: the channel's FULL filtered sample stream (the exact floats
+    the device demodulated — regenerate with the soak's per-(block,
+    channel) seeds). Returns a dict with ``verdict`` plus the evidence
+    (minimum slicer margin in the window, flattest feeding valley).
+    """
+    _dib, margins, centuries = oracle_trace(samples, sps, mode, invert)
+    return _verdict(margins, centuries, sym_lo, sym_hi)
+
+
+def classify_root(device_dibits: np.ndarray, oracle_dibits: np.ndarray,
+                  margins, centuries, sym_lo: int, sym_hi: int) -> dict | None:
+    """Root-cause a cascade miss at [sym_lo, sym_hi): a knife-edge TIMING
+    flip upstream (a tied variance valley resolving differently under
+    hardware reassociation) slews the device's sampling phase, so
+    symbols diverge for a transient with healthy oracle margins until
+    the tracker re-converges — the miss's own window then classifies
+    UNCLASSIFIED even though the cause is the documented envelope.
+
+    The rigorous check uses the device's RECORDED dibit stream: find the
+    contiguous divergence EPISODE (vs the oracle, gaps < one century)
+    containing the frame's divergent symbols, and classify the episode's
+    FIRST symbol — the trajectories are bit-identical before it, so
+    that is the root decision. (Isolated upstream flips outside the
+    episode are NOT blamed: slicer decisions don't feed back into the
+    AGC/timing state, so they cannot cascade.) Returns the root verdict
+    dict (with ``root_symbol``), or None if the streams agree
+    everywhere before ``sym_hi`` — i.e. no device-side root exists.
+    """
+    n = min(len(device_dibits), len(oracle_dibits), sym_hi)
+    diff = np.nonzero(np.asarray(device_dibits[:n], np.uint8)
+                      != np.asarray(oracle_dibits[:n], np.uint8))[0]
+    if len(diff) == 0:
+        return None
+    # episode = maximal run of diffs ending at the last diff before
+    # sym_hi with inter-diff gaps < 100 symbols (one timing century)
+    root = int(diff[-1])
+    for d in diff[::-1][1:]:
+        if root - int(d) >= 100:
+            break
+        root = int(d)
+    out = _verdict(margins, centuries, root, root + 1)
+    out["root_symbol"] = root
+    return out
+
+
+def noise_errors(oracle_dibits: np.ndarray, tx_dibits: np.ndarray,
+                 sym_lo: int, sym_hi: int) -> int:
+    """Count oracle-vs-TX symbol errors in [sym_lo, sym_hi): the host
+    oracle ITSELF misdecodes the noisy stream — a channel-noise error,
+    reproducible bit-for-bit on every backend (the compiled reference
+    fed the same audio fails the same frame). Checked FIRST: such a
+    miss is not an implementation or hardware divergence at all.
+    (Observed: at soak noise sigma=60 a symbol's mid-third average lands
+    on the wrong side of a slicer threshold a few times per ~10^7
+    symbols — the device agreed with the oracle exactly, and the margin
+    was healthy, so both knife-edge and cascade checks said
+    UNCLASSIFIED until this class existed.)"""
+    o = np.asarray(oracle_dibits[sym_lo:sym_hi], np.uint8)
+    t = np.asarray(tx_dibits[sym_lo:sym_hi], np.uint8)
+    n = min(len(o), len(t))
+    return int(np.count_nonzero(o[:n] != t[:n]))
 
 
 def rrc_np(x: np.ndarray, design) -> np.ndarray:

@@ -43,6 +43,14 @@ if os.environ.get("SOAK_MESH"):
     mesh = make_mesh(n_channel_shards=len(jax.devices()), n_time_shards=1)
     print(f"mesh bank: {len(jax.devices())} device(s), impl=gspmd")
 bank = TrackedChannelBank(pipe, on_output=lambda c, d: outputs.__setitem__(c, outputs[c] + d), mesh=mesh)
+# record the DEVICE dibit trajectory (free: the bank fetches it anyway)
+# — the root-cause evidence for cascade misses (soak_classify.classify_root)
+_dev_chunks = []
+_orig_consume = bank._consume_dibits
+def _consume_and_record(dib, block_hits=None):
+    _dev_chunks.append(np.asarray(dib, np.uint8).copy())
+    return _orig_consume(dib, block_hits)
+bank._consume_dibits = _consume_and_record
 blocks = 0
 t0 = time.perf_counter()
 L = base.shape[0]
@@ -74,8 +82,10 @@ print(f"voice frames bit-exact: {good}/{total_frames} "
 # hand-narrated knife-edge attributions) ---------------------------------
 misses = total_frames - good
 if misses:
-    from soak_classify import classify_window, diff_frames, rrc_np
+    from soak_classify import (_verdict, classify_root, diff_frames,
+                               noise_errors, oracle_trace, rrc_np)
     from digiham_tpu.dsp.rrc import WIDE_RRC
+    dev = np.concatenate(_dev_chunks, axis=1)  # [C, T] device trajectory
     verdicts = []
     for c in range(C):
         d = diff_frames(outputs[c], want, expect_per_ch)
@@ -86,6 +96,7 @@ if misses:
             + chan_noise(b, c, min(8192, L - lo))
             for b, lo in enumerate(range(0, L, 8192))]).astype(np.float32)
         filt = rrc_np(noisy, WIDE_RRC)
+        _orc, margins, cents = oracle_trace(filt, sps=10)
         # chunk k of the slot-arbitrated stream maps to the tx frame
         # pair (2k, 2k+1); take the friendlier classification of the two
         windows = [(2 * k, 2 * k + 1) for k in d["corrupted"]]
@@ -94,15 +105,43 @@ if misses:
             results = []
             for f in dict.fromkeys(pair):
                 s0 = 30 + f * 144
-                results.append(classify_window(filt, s0, s0 + 144, sps=10))
+                ne = noise_errors(_orc, dibits, s0, s0 + 144)
+                if ne:
+                    # the host oracle itself misdecodes this window from
+                    # the same noisy stream: a channel error, identical
+                    # on every backend — not a divergence at all
+                    results.append({"verdict": f"noise-error({ne}sym)",
+                                    "symbols": [s0, s0 + 144]})
+                    continue
+                r = _verdict(margins, cents, s0, s0 + 144)
+                if r["verdict"] == "UNCLASSIFIED":
+                    # the frame's own window is healthy in the oracle:
+                    # root-cause against the recorded device trajectory
+                    # (an upstream timing flip slews the device's phase
+                    # for a transient — the cascade class)
+                    root = classify_root(dev[c], _orc, margins, cents,
+                                         s0, s0 + 144)
+                    if root is not None and root["verdict"] != "UNCLASSIFIED":
+                        r = dict(root,
+                                 verdict=(f"cascade({root['verdict']}"
+                                          f"@{root['root_symbol']})"),
+                                 symbols=[s0, s0 + 144])
+                    else:
+                        # keep the root evidence in the log either way
+                        n = min(len(dev[c]), len(_orc), s0 + 144)
+                        nd = int(np.count_nonzero(
+                            dev[c][:n] != np.asarray(_orc[:n], np.uint8)))
+                        r["root"] = root or f"no-divergence ({nd} diffs<" \
+                                            f"{s0 + 144})"
+                results.append(r)
             best = min(results,
-                       key=lambda r: r["verdict"] == "UNCLASSIFIED")
+                       key=lambda r: r["verdict"].startswith("UNCLASS"))
             verdicts.append((c, pair[0], best))
             print(f"  miss ch{c} frame~{pair[0]}: {best}")
     kinds = [v[2]["verdict"] for v in verdicts]
     n_knife = sum(k != "UNCLASSIFIED" for k in kinds)
-    print(f"misses_classified: {n_knife}/{len(kinds)} knife-edge "
-          f"({', '.join(sorted(set(kinds)))})")
+    print(f"misses_classified: {n_knife}/{len(kinds)} "
+          f"(knife-edge/cascade/noise: {', '.join(sorted(set(kinds)))})")
     unclassified = len(kinds) - n_knife
 else:
     unclassified = 0
