@@ -18,6 +18,12 @@ and bench.py's wrapper detects collapse and retries at smaller configs.
 Usage: python tools/bench_multistream.py [n_procs]
 Env: BENCH_PROTOCOL=dmr|ysf|nxdn|dstar|pocsag (default dmr),
      BENCH_UNROLL / BENCH_CENTURIES / BENCH_REPS / BENCH_CHANNELS.
+     BENCH_STAGE=step (default) runs the production fused step;
+     fm / rrc / demod / fm_rrc / step_iq run stage prefixes of the
+     raw-IQ chain instead — under process overlap the aggregate
+     reflects CHIP time, so stage deltas at saturation attribute the
+     fused step's per-stage cost (single-stream deltas sit under the
+     serialized-dispatch floor and resolve nothing — round-5 finding).
 Prints one JSON line: aggregate samples/s + per-proc diagnostics.
 """
 import json
@@ -54,6 +60,98 @@ def _make_pipe(protocol, channels, centuries):
     raise ValueError(f"unknown protocol {protocol!r}")
 
 
+def _make_stage_step(stage, pipe, channels, centuries, sps, L, unroll):
+    """Stage-prefix programs of the raw-IQ fused chain, bench.py
+    methodology (one on-device base stream, strided per-step windows,
+    scalar checksum). Used for saturated stage ATTRIBUTION only — the
+    production serving number stays BENCH_STAGE=step."""
+    import jax
+    import jax.numpy as jnp
+    from digiham_tpu.dsp.demod import demod_init, gfsk_demod_block
+    from digiham_tpu.dsp.fm import fm_discriminator
+    from digiham_tpu.dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
+
+    stride = 512
+    LB = L + stride * (unroll - 1)
+
+    def f32_base(seed):
+        base = jax.random.normal(jax.random.key(seed), (channels, LB),
+                                 jnp.float32) * 100
+        return jax.lax.optimization_barrier(base)
+
+    def iq_base(seed):
+        kr, ki = jax.random.split(jax.random.key(seed))
+        base = (jax.random.normal(kr, (channels, LB), jnp.float32)
+                + 1j * jax.random.normal(ki, (channels, LB), jnp.float32)
+                ).astype(jnp.complex64)
+        return jax.lax.optimization_barrier(base)
+
+    def win(base, k):
+        return jax.lax.slice_in_dim(base, k * stride, k * stride + L,
+                                    axis=1)
+
+    if stage == "fm":
+        @jax.jit
+        def step_k(seed, state0):
+            base = iq_base(seed)
+            acc = jnp.float32(0)
+            last = jnp.ones((channels,), jnp.complex64)
+            for k in range(unroll):
+                audio, last = fm_discriminator(win(base, k), last)
+                acc = acc + audio.sum()
+            return acc
+    elif stage == "rrc":
+        @jax.jit
+        def step_k(seed, state0):
+            base = f32_base(seed)
+            acc = jnp.float32(0)
+            rrc = RrcState.init(channels, WIDE_RRC)
+            for k in range(unroll):
+                y, rrc = rrc_filter_block(win(base, k), rrc, WIDE_RRC)
+                acc = acc + y.sum()
+            return acc
+    elif stage == "fm_rrc":
+        @jax.jit
+        def step_k(seed, state0):
+            base = iq_base(seed)
+            acc = jnp.float32(0)
+            last = jnp.ones((channels,), jnp.complex64)
+            rrc = RrcState.init(channels, WIDE_RRC)
+            for k in range(unroll):
+                audio, last = fm_discriminator(win(base, k), last)
+                y, rrc = rrc_filter_block(audio * 5000.0, rrc, WIDE_RRC)
+                acc = acc + y.sum()
+            return acc
+    elif stage == "demod":
+        @jax.jit
+        def step_k(seed, state0):
+            base = f32_base(seed)
+            acc = jnp.float32(0)
+            dm = demod_init(channels)
+            for k in range(unroll):
+                dib, dm = gfsk_demod_block(win(base, k), dm, centuries,
+                                           sps)
+                acc = acc + dib.astype(jnp.float32).sum()
+                dm.pos = jnp.zeros_like(dm.pos)
+            return acc + dm.offset.sum()
+    elif stage == "step_iq":
+        @jax.jit
+        def step_k(seed, state0):
+            base = iq_base(seed)
+            acc = jnp.float32(0)
+            last = jnp.ones((channels,), jnp.complex64)
+            state = state0
+            for k in range(unroll):
+                out, last, state = pipe.step_iq(win(base, k), last, state)
+                acc = acc + sum(jnp.sum(v.astype(jnp.float32))
+                                for v in jax.tree.leaves(out))
+                state.demod.pos = jnp.zeros_like(state.demod.pos)
+            return acc + state.demod.offset.sum()
+    else:
+        raise ValueError(f"unknown BENCH_STAGE {stage!r}")
+    return step_k
+
+
 def _worker(rank, reps, unroll, centuries, protocol, q):
     """Crash containment: ANY worker exception is reported to the parent
     as an ("error", rank, traceback) message — a silently-dead worker
@@ -82,29 +180,34 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q):
     import jax.numpy as jnp
 
     channels = int(os.environ.get("BENCH_CHANNELS", "256"))
+    stage = os.environ.get("BENCH_STAGE", "step")
     pipe = _make_pipe(protocol, channels, centuries)
     sps = pipe.sps
     L = centuries * (100 * sps + 1) + 8
     seed_base = (int(time.time()) + rank * 997) % 1000000
     state0 = pipe.init_state()
 
-    @jax.jit
-    def step_k(seed, state0):
-        stride = 512
-        state = state0
-        acc = jnp.float32(0)
-        base = jax.random.normal(
-            jax.random.key(seed),
-            (channels, L + stride * (unroll - 1)), jnp.float32) * 100
-        base = jax.lax.optimization_barrier(base)  # one materialization
-        for k in range(unroll):
-            x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
-                                     axis=1)
-            out, state = pipe.step(x, state)
-            acc = acc + sum(jnp.sum(v.astype(jnp.float32))
-                            for v in jax.tree.leaves(out))
-            state.demod.pos = jnp.zeros_like(state.demod.pos)
-        return acc + state.demod.offset.sum()
+    if stage == "step":
+        @jax.jit
+        def step_k(seed, state0):
+            stride = 512
+            state = state0
+            acc = jnp.float32(0)
+            base = jax.random.normal(
+                jax.random.key(seed),
+                (channels, L + stride * (unroll - 1)), jnp.float32) * 100
+            base = jax.lax.optimization_barrier(base)  # one materialization
+            for k in range(unroll):
+                x = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
+                                         axis=1)
+                out, state = pipe.step(x, state)
+                acc = acc + sum(jnp.sum(v.astype(jnp.float32))
+                                for v in jax.tree.leaves(out))
+                state.demod.pos = jnp.zeros_like(state.demod.pos)
+            return acc + state.demod.offset.sum()
+    else:
+        step_k = _make_stage_step(stage, pipe, channels, centuries, sps,
+                                  L, unroll)
 
     # Warmup with retry: even after worker 0 populates the client-side
     # persistent cache, each session still installs the executable via
@@ -208,9 +311,11 @@ def main(n_procs=2):
     samples = sum(r[3] for r in results)
     agg = samples / max(walls)
     rep_max = [max(r[4]) for r in results]
+    stage = os.environ.get("BENCH_STAGE", "step")
     print(json.dumps({
         "metric": f"{protocol}_pipeline_multistream",
         "protocol": protocol,
+        "stage": stage,
         "n_procs": n_procs,
         "aggregate_msps": round(agg / 1e6, 1),
         "per_proc_wall_s": [round(w, 3) for w in walls],
