@@ -308,6 +308,156 @@ def fsk_demod_block(samples: jnp.ndarray, state: DemodState,
     return _demod_block_xla(samples, state, n_centuries, sps, "fsk", invert)
 
 
+def _fused_front_default(channels: int) -> bool:
+    """Fused-front (in-kernel RRC) kernel opt-in: DIGIHAM_FUSED_FRONT=1.
+
+    Default OFF until the hardware A/B certifies it (the round-4 rule:
+    never make an uncertified kernel the production path). A truthy env
+    forces it wherever the Pallas demod would run; requires the same
+    channels % 8 == 0 the other kernels do."""
+    from ..utils import env_flag
+
+    if channels % 8 != 0:
+        return False
+    env = env_flag("DIGIHAM_FUSED_FRONT")
+    if env is None:
+        return False
+    return bool(env) and _pallas_demod_default(channels)
+
+
+def _rrc_demod_fused(samples, rrc_state, demod_state, n_centuries, sps,
+                     design, mode, invert, interpret=False):
+    """RRC + demod through the fused-front kernel (ops/demod_pallas.py
+    front="rrc"): the filtered array never round-trips HBM. Same
+    pos-bound guard as _demod_block_auto; the cold branch falls back to
+    the unfused two-stage chain (values there are the plain production
+    path's — within the documented f32 envelope of the fused branch)."""
+    from ..ops.demod_pallas import (pallas_demod_front_block, pick_tile,
+                                    pos_guard)
+    from .rrc import RrcState, rrc_filter_block
+
+    C, L = samples.shape
+    halo = design.ntaps - 1
+    taps = design.scaled_taps.tobytes()
+    tile = pick_tile(C, L, n_centuries, sps, dma=True, front="rrc",
+                     ntaps=design.ntaps)
+    ok = (demod_state.pos.min() >= 0) & \
+         (demod_state.pos.max() < pos_guard(sps))
+
+    def fused(args):
+        samples, rrc_state, demod_state = args
+        return pallas_demod_front_block(
+            samples, rrc_state.history, demod_state, taps=taps,
+            n_centuries=n_centuries, sps=sps, mode=mode, invert=invert,
+            tile=tile, interpret=interpret)
+
+    def unfused(args):
+        samples, rrc_state, demod_state = args
+        filt, _ = rrc_filter_block(samples, rrc_state, design)
+        return _demod_block_auto(filt, demod_state, n_centuries, sps,
+                                 mode, invert, interpret=interpret)
+
+    dib, new_demod = jax.lax.cond(ok, fused, unfused,
+                                  (samples, rrc_state, demod_state))
+    # the RRC carry is the raw input tail — bitwise-identical to
+    # rrc_filter_block's (rrc.py: x[:, -halo:] of [history | samples])
+    x = jnp.concatenate([rrc_state.history, samples], axis=-1)
+    new_rrc = RrcState(x[:, x.shape[-1] - halo:])
+    return dib, new_rrc, new_demod
+
+
+def fm_rrc_demod_block(re, im, last_re, last_im, rrc_state, demod_state,
+                       n_centuries: int, sps: int, design,
+                       mode: str = "gfsk", invert: bool = False,
+                       fm_scale: float = 5000.0, interpret: bool = False):
+    """Fully-fused raw-IQ segment: FM discriminator + RRC + demod in one
+    Pallas kernel (ops/demod_pallas.py front="fm_rrc") — raw IQ planes
+    are the only HBM input. Same pos guard; the cold branch is the
+    unfused XLA chain (dsp/fm.py + rrc + demod).
+
+    re/im: [C, L] f32 IQ planes; last_re/last_im: [C] carry.
+    Returns (symbols, new_rrc_state, new_demod_state,
+    (new_last_re, new_last_im)). The RRC history carry is computed
+    XLA-side from the block tail with the exact unfused op sequence, so
+    it is bitwise-identical to the two-stage chain's."""
+    from ..ops.demod_pallas import (pallas_demod_fm_front_block,
+                                    pick_tile, pos_guard)
+    from .fm import fm_discriminator
+    from .rrc import RrcState, rrc_filter_block
+
+    C, L = re.shape
+    halo = design.ntaps - 1
+    assert L > halo + 1, (L, halo)
+    taps = design.scaled_taps.tobytes()
+    tile = pick_tile(C, L, n_centuries, sps, dma=True, front="fm_rrc",
+                     ntaps=design.ntaps)
+    ok = (demod_state.pos.min() >= 0) & \
+         (demod_state.pos.max() < pos_guard(sps))
+
+    def fused(args):
+        re, im, last_re, last_im, rrc_state, demod_state = args
+        return pallas_demod_fm_front_block(
+            re, im, last_re, last_im, rrc_state.history, demod_state,
+            taps=taps, n_centuries=n_centuries, sps=sps, mode=mode,
+            invert=invert, tile=tile, interpret=interpret,
+            fm_scale=fm_scale)
+
+    def unfused(args):
+        re, im, last_re, last_im, rrc_state, demod_state = args
+        iq = jax.lax.complex(re, im)
+        audio, _ = fm_discriminator(iq, jax.lax.complex(last_re,
+                                                        last_im))
+        filt, _ = rrc_filter_block(audio * fm_scale, rrc_state, design)
+        return _demod_block_auto(filt, demod_state, n_centuries, sps,
+                                 mode, invert, interpret=interpret)
+
+    dib, new_demod = jax.lax.cond(
+        ok, fused, unfused,
+        (re, im, last_re, last_im, rrc_state, demod_state))
+    # carries, computed once with the exact unfused op sequence
+    # (dsp/fm.py:28-31): bitwise-identical to the two-stage chain's
+    tail = jax.lax.complex(re[:, L - halo:], im[:, L - halo:])
+    prev = jax.lax.complex(re[:, L - halo - 1:L - 1],
+                           im[:, L - halo - 1:L - 1])
+    prod = tail * jnp.conj(prev)
+    audio_tail = (jnp.arctan2(prod.imag, prod.real)
+                  / jnp.pi).astype(jnp.float32)
+    new_rrc = RrcState(audio_tail * fm_scale)
+    return dib, new_rrc, new_demod, (re[:, -1], im[:, -1])
+
+
+def rrc_demod_block(samples, rrc_state, demod_state, n_centuries: int,
+                    sps: int, design=None, mode: str = "gfsk",
+                    invert: bool = False, impl: str = "auto"):
+    """The RRC -> demod segment every protocol pipeline shares.
+
+    design=None skips the filter (pre-filtered input). impl="auto" on
+    TPU with DIGIHAM_FUSED_FRONT=1 routes through the fused-front
+    kernel (one Pallas call, no filtered-array HBM round trip);
+    otherwise the two-stage chain (MXU banded-matmul RRC +
+    DMA-staged Pallas demod) runs exactly as before.
+    Returns (symbols, new_rrc_state, new_demod_state)."""
+    if design is not None and impl == "auto" and \
+            _fused_front_default(samples.shape[0]):
+        return _rrc_demod_fused(samples, rrc_state, demod_state,
+                                n_centuries, sps, design, mode, invert)
+    from .rrc import rrc_filter_block
+
+    if design is not None:
+        filtered, rrc_state = rrc_filter_block(samples, rrc_state,
+                                               design, impl=impl)
+    else:
+        filtered = samples
+    if mode == "gfsk":
+        sym, demod_state = gfsk_demod_block(filtered, demod_state,
+                                            n_centuries, sps, impl=impl)
+    else:
+        sym, demod_state = fsk_demod_block(filtered, demod_state,
+                                           n_centuries, sps, invert,
+                                           impl=impl)
+    return sym, rrc_state, demod_state
+
+
 class _DemodNp:
     """Host oracle: symbol-at-a-time loop faithful to the reference
     (fsk_demodulator.cpp:25-111), for tests and the control plane.

@@ -92,6 +92,79 @@ def _merged_selection(sps: int) -> np.ndarray:
     return merged
 
 
+@functools.lru_cache(maxsize=None)
+def _atan_poly_coeffs(deg: int = 10) -> tuple:
+    """Power-series coefficients of a Chebyshev fit to atan(q)/q as a
+    polynomial in s = q*q over s in [0, 1], derived at import (the repo
+    rule: derive tables, never paste magic constants).
+
+    Mosaic has no atan/atan2 lowering (probed round 5:
+    NotImplementedError for both), so the fused FM front evaluates this
+    polynomial + the standard octant reduction instead. atan(sqrt(s))/
+    sqrt(s) has its nearest singularity at s = -1, so Chebyshev
+    coefficients decay ~5.83^-n: deg 10 leaves ~4e-9 fit error, below
+    f32 resolution; the f32 Horner evaluation dominates at ~2 ulp
+    (measured in tests/test_fused_front.py against np.arctan2)."""
+    from numpy.polynomial import Polynomial, chebyshev
+
+    s = np.linspace(0.0, 1.0, 8192)
+    q = np.sqrt(s)
+    with np.errstate(invalid="ignore"):
+        g = np.where(q > 0, np.arctan(q) / np.where(q > 0, q, 1.0), 1.0)
+    fit = chebyshev.Chebyshev.fit(s, g, deg=deg, domain=[0.0, 1.0])
+    return tuple(np.float32(c) for c in fit.convert(kind=Polynomial).coef)
+
+
+def _kernel_atan2(y, x):
+    """Branch-free f32 atan2 for Mosaic kernels: octant-reduce to
+    q = min(|x|,|y|)/max(|x|,|y|) in [0, 1], evaluate the derived
+    polynomial (Horner), then undo the reduction with selects. Within a
+    few f32 ulps of libm/XLA atan2 everywhere (the fm_rrc front's
+    documented envelope); atan2(0, 0) returns 0 with no NaN (garbage
+    halo lanes must stay finite through the banded matmul's zero
+    rows)."""
+    coeffs = _atan_poly_coeffs()
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    q = mn / jnp.where(mx > 0, mx, np.float32(1.0))
+    s = q * q
+    p = jnp.full_like(s, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        p = p * s + c
+    r = q * p
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _front_prefix(ntaps: int) -> int:
+    """Lane width of the fused-front halo: the RRC needs ntaps-1 samples
+    of history before each filtered position, rounded up to the 128-lane
+    alignment every in-kernel slice needs (wide 81 taps -> 128, narrow
+    161 -> 256)."""
+    return -(-(ntaps - 1) // 128) * 128
+
+
+@functools.lru_cache(maxsize=None)
+def _front_band(taps_bytes: bytes, ntaps: int) -> np.ndarray:
+    """[P+128, 128] banded RHS for the in-kernel RRC: filtered output
+    q = o*128 + k of a century window is ext[:, o*128 : o*128+P+128] @ B
+    where ext lane u holds the input sample at position (window start -
+    P + u) and B[u, k] = taps[u - (P - halo) - k] inside the band, 0
+    outside. Same contraction as dsp.rrc._banded_matrix (the certified
+    MXU formulation, rrc.py:184) shifted by the halo padding."""
+    taps = np.frombuffer(taps_bytes, dtype=np.float32)
+    halo = ntaps - 1
+    P = _front_prefix(ntaps)
+    off0 = P - halo
+    B = np.zeros((P + 128, 128), np.float32)
+    for k in range(128):
+        B[off0 + k:off0 + k + ntaps, k] = taps
+    return B
+
+
 POS_GUARD = 128  # absolute cap on pos_guard(sps) (back-compat export)
 
 
@@ -126,7 +199,8 @@ def _shift_bound(n_centuries: int, sps: int) -> int:
 
 
 def pick_tile(C: int, L: int, n_centuries: int, sps: int,
-              dma: bool = False) -> int:
+              dma: bool = False, front: str | None = None,
+              ntaps: int = 0) -> int:
     """Largest channel tile that divides C and keeps one grid step's
     input row block inside a conservative VMEM budget (measured: tile=128
     at [128, 16512] f32 = 8.4 MB compiles and is the fastest at 256ch x
@@ -170,6 +244,27 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
     assert SEL_W == 384, "pick_tile sel_bytes calibrated for SEL_W=384"
     sel_bytes = (2 * n * CENTURY + n * sps) * 4
     budget = 14 * 2 ** 20 - sel_bytes
+    if front:
+        # fused-front kernel: DMA slots hold the RAW input window(s)
+        # (wlen = load + P halo lanes; two planes for fm_rrc), plus the
+        # FM/ext temporaries, the stacked-chunk matmul operands, the
+        # filtered window, and the same batched-AGC/dibit terms as the
+        # plain DMA kernel. Conservative first estimate — re-calibrate
+        # on hardware like the dma branch was (round 4).
+        planes = 2 if front == "fm_rrc" else 1
+        P = _front_prefix(ntaps)
+        wlen_f = load + P
+        temps = 6 if front == "fm_rrc" else 2
+        per_t = (2 * planes * wlen_f * 4
+                 + temps * wlen_f * 4
+                 + 2 * (load // 128) * (P + 128) * 4
+                 + load * 4
+                 + 10 * (n_centuries + 1) * 128 * 4
+                 + 2 * n_centuries * 128 * 4)
+        for t in (128, 64, 32, 16, 8):
+            if C % t == 0 and t * per_t <= budget:
+                return t
+        return next(t for t in (8, 16, 32, 64, 128) if C % t == 0)
     if dma:
         # resident per grid step: the 2-slot DMA scratch, the batched-AGC
         # concatenations/scan temporaries (~8 live [tile, (nc+1)*100]
@@ -206,7 +301,8 @@ def pick_tile(C: int, L: int, n_centuries: int, sps: int,
 
 def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
                  invert: bool, load: int, ablate: tuple = (),
-                 dma: bool = False):
+                 dma: bool = False, front: str | None = None,
+                 ntaps: int = 0, fm_scale: float = 5000.0):
     """ablate (PERF DIAGNOSTIC ONLY — wrong results): "shift" skips the
     alignment shifter, "timing" skips the variance matmuls, "agc" uses
     fixed thresholds. Used by tools/bench_demod_pallas.py to attribute
@@ -219,9 +315,32 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
     outputs are bit-identical to the resident kernel. This is the
     production default (round-4 hardware A/B: fastest variant and VMEM
     footprint independent of L; a column-packed fused-stats variant was
-    also A/B'd on hardware, showed no win, and was removed)."""
+    also A/B'd on hardware, showed no win, and was removed).
+
+    front="rrc" (requires dma): the HBM rows are the UNFILTERED input
+    samples and each century's RRC-filtered window is computed in-kernel
+    as (load//128) banded matmuls batched into one [chunks*tile, P+128]
+    @ [P+128, 128] MXU pass per century (same contraction per output
+    column as dsp.rrc._rrc_filter_block_matmul, so values agree within
+    the documented f32 matmul envelope) — the filtered array never
+    round-trips HBM (ROADMAP item 3 front-end fusion; the fused step is
+    HBM-bound). front="fm_rrc" additionally computes the FM quadrature
+    discriminator in-kernel from re/im sample planes (dsp/fm.py:21-31
+    semantics; the complex product and arctan2 run on the VPU), so raw
+    IQ is the only HBM input of the whole chain."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    assert front in (None, "rrc", "fm_rrc"), front
+    if front:
+        assert dma, "fused-front kernels are DMA-staged only"
+        P = _front_prefix(ntaps)
+        wlen = load + P
+        n_chunks = load // 128
+        if n_centuries > 1:
+            assert _century_start(1, CENTURY * sps) >= P, (
+                "century 1 window would underrun the block start", sps,
+                ntaps)
 
     lo, hi = _eval_bounds(sps)
     n = CENTURY * sps
@@ -264,10 +383,89 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
         return mn, mx
 
     def kernel(*refs):
-        (sel_ref, y_ref, pos_ref,
-         off_ref, ring_ref, dib_ref, pos_out, off_out, ring_out,
-         *scratch) = refs
-        if dma:
+        if front == "fm_rrc":
+            (sel_ref, band_ref, yre_ref, yim_ref, lre_ref, lim_ref,
+             hist_ref, pos_ref, off_ref, ring_ref, dib_ref, pos_out,
+             off_out, ring_out, wre, wim, dma_sem) = refs
+        elif front == "rrc":
+            (sel_ref, band_ref, y_ref, hist_ref, pos_ref, off_ref,
+             ring_ref, dib_ref, pos_out, off_out, ring_out, wbuf,
+             dma_sem) = refs
+        else:
+            (sel_ref, y_ref, pos_ref,
+             off_ref, ring_ref, dib_ref, pos_out, off_out, ring_out,
+             *scratch) = refs
+        if front:
+            rows = pl.ds(pl.program_id(0) * tile, tile)
+
+            def _src(c):
+                # century 0 reads from the block origin (its halo is the
+                # carried history strip); later centuries read their own
+                # P-lane in-block halo. Both offsets are static
+                # 128-multiples (start_c is 128-aligned, P is too).
+                return 0 if c == 0 else _century_start(c, n) - P
+
+            if front == "fm_rrc":
+                def _copies(c):
+                    return (
+                        pltpu.make_async_copy(
+                            yre_ref.at[rows, pl.ds(_src(c), wlen)],
+                            wre.at[c % 2], dma_sem.at[c % 2, 0]),
+                        pltpu.make_async_copy(
+                            yim_ref.at[rows, pl.ds(_src(c), wlen)],
+                            wim.at[c % 2], dma_sem.at[c % 2, 1]))
+            else:
+                def _copies(c):
+                    return (pltpu.make_async_copy(
+                        y_ref.at[rows, pl.ds(_src(c), wlen)],
+                        wbuf.at[c % 2], dma_sem.at[c % 2]),)
+
+            for cp in _copies(0):
+                cp.start()
+
+            def _front_window(c):
+                """FM (optional) + in-kernel RRC for century c's
+                [tile, load] filtered window."""
+                if front == "fm_rrc":
+                    re = wre[c % 2]
+                    im = wim[c % 2]
+                    # quadrature discriminator, dsp/fm.py:21-31 op
+                    # order: prod = iq * conj(prev), atan2 / pi, then
+                    # the pipeline's front-end gain — three separate
+                    # f32 roundings, same as the XLA path
+                    pre = pltpu.roll(re, 1, axis=1)
+                    pim = pltpu.roll(im, 1, axis=1)
+                    if c == 0:
+                        lane0 = (jax.lax.broadcasted_iota(
+                            jnp.int32, (tile, wlen), 1) == 0)
+                        pre = jnp.where(lane0, lre_ref[:, :1], pre)
+                        pim = jnp.where(lane0, lim_ref[:, :1], pim)
+                    # lane 0 of c>=1 windows wraps garbage — consumed
+                    # only by zero rows of the banded RHS (finite, so
+                    # 0*x == 0 exactly)
+                    prod_re = re * pre + im * pim
+                    prod_im = im * pre - re * pim
+                    audio = (_kernel_atan2(prod_im, prod_re)
+                             / np.float32(np.pi)) * np.float32(fm_scale)
+                else:
+                    audio = wbuf[c % 2]
+                if c == 0:
+                    ext = jnp.concatenate(
+                        [hist_ref[:, :], audio[:, :load]], axis=1)
+                else:
+                    ext = audio
+                # ext lane u == input sample at (start_c - P + u); the
+                # load//128 banded chunk matmuls share one RHS, so stack
+                # the chunks along sublanes for a single wide MXU pass
+                stacked = jnp.concatenate(
+                    [ext[:, o * 128:o * 128 + P + 128]
+                     for o in range(n_chunks)], axis=0)
+                f = jnp.dot(stacked, band_ref[:, :],
+                            preferred_element_type=jnp.float32)
+                return jnp.concatenate(
+                    [f[o * tile:(o + 1) * tile]
+                     for o in range(n_chunks)], axis=1)
+        elif dma:
             wbuf, dma_sem = scratch
             rows = pl.ds(pl.program_id(0) * tile, tile)
 
@@ -291,7 +489,14 @@ def _make_kernel(n_centuries: int, sps: int, tile: int, mode: str,
             # the shift where set — static rolls + per-row selects only),
             # MSB-first so the view can narrow once the residual is < 128
             start_c = _century_start(c, n)
-            if dma:
+            if front:
+                if c + 1 < n_centuries:
+                    for cp in _copies(c + 1):
+                        cp.start()
+                for cp in _copies(c):
+                    cp.wait()
+                W = _front_window(c)
+            elif dma:
                 if c + 1 < n_centuries:
                     _copy(c + 1).start()
                 _copy(c).wait()
@@ -501,3 +706,142 @@ def pallas_demod_block(samples: jnp.ndarray, state: DemodState,
       state.volume_ring)
     dib = dib[:, :n_centuries * CENTURY]
     return dib.astype(jnp.uint8), DemodState(pos[:, 0], off[:, 0], ring)
+
+
+def _front_common(front, arrays, extras, hist, state, taps, n_centuries,
+                  sps, mode, invert, tile, interpret, fm_scale):
+    """Shared pallas_call builder for the fused-front kernels."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    taps_arr = np.frombuffer(taps, dtype=np.float32)
+    ntaps = len(taps_arr)
+    halo = ntaps - 1
+    P = _front_prefix(ntaps)
+    C, L = arrays[0].shape
+    assert C % tile == 0, (C, tile)
+    span = CENTURY * sps + 1
+    n = CENTURY * sps
+    load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
+    wlen = load + P
+    last_start = _century_start(n_centuries - 1, n)
+    # century 0 reads [0, wlen) and the last century [last_start,
+    # last_start + load); right-pad so both stay in bounds
+    L_pad = max(L, last_start + load, wlen)
+    L_pad = -(-L_pad // 128) * 128
+    if L_pad != L:
+        arrays = [jnp.pad(a, ((0, 0), (0, L_pad - L))) for a in arrays]
+    # history strip: lanes [P-halo, P) hold the carried ntaps-1 input
+    # samples (positions -halo..-1); leading zero lanes only ever meet
+    # zero rows of the banded RHS
+    hist_p = jnp.pad(hist.astype(jnp.float32), ((0, 0), (P - halo, 0)))
+    grid = (C // tile,)
+    kernel = _make_kernel(n_centuries, sps, tile, mode, invert, load,
+                          (), True, front=front, ntaps=ntaps,
+                          fm_scale=fm_scale)
+    band = jnp.asarray(_front_band(taps, ntaps))
+    sel = jnp.asarray(_merged_selection(sps))
+    out_w = -(-(n_centuries * CENTURY) // 128) * 128
+
+    def tile_spec(w):
+        return pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((n, SEL_W), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P + 128, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(arrays)
+    inputs = [sel, band, *arrays]
+    if front == "fm_rrc":
+        lre, lim = extras
+        in_specs += [tile_spec(1), tile_spec(1)]
+        inputs += [lre.astype(jnp.float32)[:, None],
+                   lim.astype(jnp.float32)[:, None]]
+    in_specs += [tile_spec(P), tile_spec(1), tile_spec(1),
+                 tile_spec(CENTURY)]
+    inputs += [hist_p, state.pos[:, None], state.offset[:, None],
+               state.volume_ring]
+    scratch = [pltpu.VMEM((2, tile, wlen), jnp.float32)]
+    if front == "fm_rrc":
+        scratch += [pltpu.VMEM((2, tile, wlen), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, 2))]
+    else:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+    dib, pos, off, ring = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(tile_spec(out_w), tile_spec(1), tile_spec(1),
+                   tile_spec(CENTURY)),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, out_w), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, CENTURY), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    dib = dib[:, :n_centuries * CENTURY]
+    return dib.astype(jnp.uint8), DemodState(pos[:, 0], off[:, 0], ring)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps", "n_centuries", "sps", "mode",
+                                    "invert", "tile", "interpret"))
+def pallas_demod_front_block(samples: jnp.ndarray, hist: jnp.ndarray,
+                             state: DemodState, *, taps: bytes,
+                             n_centuries: int, sps: int = 10,
+                             mode: str = "gfsk", invert: bool = False,
+                             tile: int = 8, interpret: bool = False):
+    """Fused RRC + century demod: the RRC FIR runs IN-KERNEL as banded
+    chunk matmuls, so the filtered array never round-trips HBM.
+
+    samples: [C, L] float32 UNFILTERED input samples (what
+    dsp.rrc.rrc_filter_block would consume); hist: [C, ntaps-1] carried
+    input history (RrcState.history); taps: the design's scaled_taps
+    bytes (dsp.rrc.RrcDesign.scaled_taps). Demod semantics identical to
+    pallas_demod_block on rrc_filter_block's output; filtered values
+    agree with the MXU banded-matmul path within the documented f32
+    envelope (same contraction per output column, MXU accumulation
+    order may differ). Reference chain: src/rrc_filter/rrc_filter.cpp
+    feeding src/fsk_demodulator/*.cpp. Requires 0 <= pos < pos_guard.
+    Returns (symbols, new DemodState); the new RrcState history is the
+    caller's job (samples[:, L-ntaps+1:], bitwise-identical to the
+    unfused carry).
+    """
+    return _front_common("rrc", [samples], None, hist, state, taps,
+                         n_centuries, sps, mode, invert, tile, interpret,
+                         0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps", "n_centuries", "sps", "mode",
+                                    "invert", "tile", "interpret",
+                                    "fm_scale"))
+def pallas_demod_fm_front_block(re: jnp.ndarray, im: jnp.ndarray,
+                                last_re: jnp.ndarray,
+                                last_im: jnp.ndarray, hist: jnp.ndarray,
+                                state: DemodState, *, taps: bytes,
+                                n_centuries: int, sps: int = 10,
+                                mode: str = "gfsk", invert: bool = False,
+                                tile: int = 8, interpret: bool = False,
+                                fm_scale: float = 5000.0):
+    """Fully-fused raw-IQ front end: FM quadrature discriminator
+    (dsp/fm.py:21-31 op order) + RRC FIR + century demod in ONE kernel —
+    raw IQ planes are the only HBM input of the chain.
+
+    re/im: [C, L] float32 IQ component planes (this tunnel cannot even
+    transfer complex64 — planar ingest is the production layout);
+    last_re/last_im: [C] previous block's final IQ sample (the
+    fm_discriminator carry); hist: [C, ntaps-1] carried SCALED audio
+    history (RrcState.history — the unfused chain's
+    audio/pi*fm_scale values). The in-kernel arctan2 is Mosaic's, which
+    may differ from XLA's in final-ulp rounding — the same precision
+    class as the documented MXU envelope; goldens stay on the XLA path.
+    """
+    return _front_common("fm_rrc", [re, im], (last_re, last_im), hist,
+                         state, taps, n_centuries, sps, mode, invert,
+                         tile, interpret, fm_scale)

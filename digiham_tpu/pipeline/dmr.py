@@ -27,8 +27,8 @@ import numpy as np
 from ..fec import bptc
 from ..fec.codes import GOLAY_20_8, HAMMING_7_4, QR_16_7
 from ..fec.linear import decode as fec_decode
-from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
-from ..dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
+from ..dsp.demod import DemodState, demod_init, rrc_demod_block
+from ..dsp.rrc import WIDE_RRC, RrcState
 from ..protocols.dmr.components import TACT_POSITIONS
 from ..protocols.dmr.phases import (
     BS_DATA_SYNC,
@@ -214,12 +214,55 @@ class DmrPipeline:
         """Raw-IQ ingest variant: [C, L] complex64 -> FM discriminator ->
         the sample pipeline (the on-device equivalent of the reference's
         external rtl_fm front end). last_iq: [C] carry.
-        Returns (outputs, new_iq_carry, new state)."""
+        Returns (outputs, new_iq_carry, new state).
+
+        With DIGIHAM_FUSED_FRONT=1 on TPU the whole front (FM + RRC +
+        demod) runs as ONE Pallas kernel via the planar path — the
+        complex input is split into planes first (one copy; ingest that
+        already has planes should call step_iq_planes and skip it)."""
+        from ..dsp.demod import _fused_front_default
         from ..dsp.fm import fm_discriminator
 
+        impl = impl or "auto"
+        if (self.use_rrc and impl == "auto"
+                and _fused_front_default(self.channels)):
+            out, (lre, lim), new_state = self.step_iq_planes(
+                iq.real, iq.imag, last_iq.real, last_iq.imag, state)
+            return out, jax.lax.complex(lre, lim), new_state
         audio, iq_carry = fm_discriminator(iq, last_iq)
         out, new_state = self.step(audio * 5000.0, state, impl=impl)
         return out, iq_carry, new_state
+
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("impl",))
+    def step_iq_planes(self, re: jnp.ndarray, im: jnp.ndarray,
+                       last_re: jnp.ndarray, last_im: jnp.ndarray,
+                       state: DmrPipelineState, impl: str | None = None):
+        """Planar raw-IQ ingest: [C, L] float32 I and Q planes.
+
+        The production layout on this hardware — the tunnel cannot
+        transfer complex64 at all (CLAUDE.md), so planar ingest avoids
+        both the host-side interleave and the on-device split. With
+        DIGIHAM_FUSED_FRONT=1 (TPU) the FM discriminator, RRC FIR and
+        century demod run as ONE Pallas kernel (dsp.demod.
+        fm_rrc_demod_block): raw IQ planes are the only HBM input of
+        the front end. Default (flag off) composes the unfused chain.
+        Returns (outputs, (new_last_re, new_last_im), new state)."""
+        from ..dsp.demod import _fused_front_default, fm_rrc_demod_block
+        from ..dsp.fm import fm_discriminator
+
+        impl = impl or "auto"
+        if (self.use_rrc and impl == "auto"
+                and _fused_front_default(self.channels)):
+            dibits, rrc_state, demod_state, carry = fm_rrc_demod_block(
+                re, im, last_re, last_im, state.rrc, state.demod,
+                self.n_centuries, self.sps, WIDE_RRC, fm_scale=5000.0)
+            return (self._post(dibits), carry,
+                    DmrPipelineState(rrc_state, demod_state))
+        audio, _ = fm_discriminator(jax.lax.complex(re, im),
+                                    jax.lax.complex(last_re, last_im))
+        out, new_state = self.step(audio * 5000.0, state, impl=impl)
+        return out, (re[:, -1], im[:, -1]), new_state
 
     @functools.partial(jax.jit, static_argnums=0,
                        static_argnames=("impl",))
@@ -238,19 +281,19 @@ class DmrPipeline:
         impl gets its own jit trace — no attribute-mutation hazards.
         """
         impl = impl or "auto"
-        if self.use_rrc:
-            filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, WIDE_RRC, impl=impl)
-        else:
-            filtered, rrc_state = samples, state.rrc
-        dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps,
-            impl=impl)
+        dibits, rrc_state, demod_state = rrc_demod_block(
+            samples, state.rrc, state.demod, self.n_centuries, self.sps,
+            WIDE_RRC if self.use_rrc else None, impl=impl)
+        return self._post(dibits), DmrPipelineState(rrc_state,
+                                                    demod_state)
+
+    def _post(self, dibits):
+        """Symbol-domain tail shared by every ingest variant: dense sync
+        correlation + batched per-frame field decode."""
         sync_dist_dense = dmr_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         frames = dibits[:, :n_frames * FRAME_SIZE].reshape(
             self.channels, n_frames, FRAME_SIZE)
         fields = dmr_decode_frames(frames)
-        outputs = {"dibits": dibits, "sync_dist_dense": sync_dist_dense,
-                   **fields}
-        return outputs, DmrPipelineState(rrc_state, demod_state)
+        return {"dibits": dibits, "sync_dist_dense": sync_dist_dense,
+                **fields}

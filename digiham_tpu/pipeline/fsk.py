@@ -12,8 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.demod import DemodState, demod_init, fsk_demod_block
-from ..dsp.rrc import RrcDesign, RrcState, rrc_filter_block
+from ..dsp.demod import DemodState, demod_init, rrc_demod_block
+from ..dsp.rrc import RrcDesign, RrcState
 from ..fec.lfsr import dstar_scrambler
 from ..protocols.dstar.phases import HEADER_SYNC, TERMINATOR, VOICE_SYNC
 from ..protocols.pocsag import SYNC_PATTERN as POCSAG_SYNC
@@ -82,14 +82,9 @@ class FskPipeline:
     def step(self, samples: jnp.ndarray, state: FskPipelineState,
              impl: str | None = None):
         impl = impl or "auto"
-        x = samples
-        rrc_state = state.rrc
-        if self.rrc is not None:
-            x, rrc_state = rrc_filter_block(x, state.rrc, self.rrc,
-                                            impl=impl)
-        bits, demod_state = fsk_demod_block(
-            x, state.demod, self.n_centuries, self.sps, self.invert,
-            impl=impl)
+        bits, rrc_state, demod_state = rrc_demod_block(
+            samples, state.rrc, state.demod, self.n_centuries, self.sps,
+            self.rrc, mode="fsk", invert=self.invert, impl=impl)
         outputs = {"dibits": bits}
         for name, pattern in self.patterns.items():
             outputs[f"sync_dist_{name}"] = bit_sync_correlate(bits, pattern)

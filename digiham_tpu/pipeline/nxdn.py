@@ -51,8 +51,8 @@ def _depunctured_viterbi(bits: jnp.ndarray, table,
 import dataclasses
 import functools
 
-from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
-from ..dsp.rrc import NARROW_RRC, RrcState, rrc_filter_block
+from ..dsp.demod import DemodState, demod_init, rrc_demod_block
+from ..dsp.rrc import NARROW_RRC, RrcState
 
 
 @jax.tree_util.register_pytree_node_class
@@ -92,14 +92,9 @@ class NxdnPipeline:
     def step(self, samples: jnp.ndarray, state: NxdnPipelineState,
              impl: str | None = None):
         impl = impl or "auto"
-        if self.use_rrc:
-            filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, NARROW_RRC, impl=impl)
-        else:
-            filtered, rrc_state = samples, state.rrc
-        dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps,
-            impl=impl)
+        dibits, rrc_state, demod_state = rrc_demod_block(
+            samples, state.rrc, state.demod, self.n_centuries, self.sps,
+            NARROW_RRC if self.use_rrc else None, impl=impl)
         outputs = {"dibits": dibits,
                    "sync_dist_dense": nxdn_sync_correlate(dibits)}
         return outputs, NxdnPipelineState(rrc_state, demod_state)

@@ -106,8 +106,8 @@ def decode_vd2_voice_batch(voice_dibits: jnp.ndarray) -> jnp.ndarray:
 
 import dataclasses
 
-from ..dsp.demod import DemodState, demod_init, gfsk_demod_block
-from ..dsp.rrc import WIDE_RRC, RrcState, rrc_filter_block
+from ..dsp.demod import DemodState, demod_init, rrc_demod_block
+from ..dsp.rrc import WIDE_RRC, RrcState
 
 
 @jax.tree_util.register_pytree_node_class
@@ -148,14 +148,9 @@ class YsfPipeline:
     def step(self, samples: jnp.ndarray, state: YsfPipelineState,
              impl: str | None = None):
         impl = impl or "auto"
-        if self.use_rrc:
-            filtered, rrc_state = rrc_filter_block(
-                samples, state.rrc, WIDE_RRC, impl=impl)
-        else:
-            filtered, rrc_state = samples, state.rrc
-        dibits, demod_state = gfsk_demod_block(
-            filtered, state.demod, self.n_centuries, self.sps,
-            impl=impl)
+        dibits, rrc_state, demod_state = rrc_demod_block(
+            samples, state.rrc, state.demod, self.n_centuries, self.sps,
+            WIDE_RRC if self.use_rrc else None, impl=impl)
         sync_dist_dense = ysf_sync_correlate(dibits)
         n_frames = self.symbols_per_block // FRAME_SIZE
         fields = {}

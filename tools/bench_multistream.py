@@ -36,7 +36,12 @@ sys.path.insert(0, ".")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-GO_FILE = "/tmp/multistream_go"
+# the GO barrier is a per-run file: a FIXED path let any stale file
+# (crashed sibling run, killed ladder stage) release workers before the
+# parent finished collecting readies — observed round 5 as an
+# AssertionError('done' during the ready phase) that killed a whole
+# attribution stage. The parent passes its unique path to every worker.
+GO_PREFIX = "/tmp/multistream_go"
 
 
 def _make_pipe(protocol, channels, centuries):
@@ -152,21 +157,21 @@ def _make_stage_step(stage, pipe, channels, centuries, sps, L, unroll):
     return step_k
 
 
-def _worker(rank, reps, unroll, centuries, protocol, q):
+def _worker(rank, reps, unroll, centuries, protocol, q, go_file):
     """Crash containment: ANY worker exception is reported to the parent
     as an ("error", rank, traceback) message — a silently-dead worker
     left the parent blocked in q.get for the full timeout (observed
     round 5), which is exactly the unattended-run failure mode this
     tool must never have."""
     try:
-        _worker_body(rank, reps, unroll, centuries, protocol, q)
+        _worker_body(rank, reps, unroll, centuries, protocol, q, go_file)
     except BaseException:
         import traceback
         q.put(("error", rank, traceback.format_exc()[-1500:]))
         raise
 
 
-def _worker_body(rank, reps, unroll, centuries, protocol, q):
+def _worker_body(rank, reps, unroll, centuries, protocol, q, go_file):
     os.environ.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache")
     import jax
     if os.environ.get("BENCH_PLATFORM"):
@@ -232,7 +237,7 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q):
     # siblings, misclassified as uneven-walls collapse). Re-executing
     # the same program every ~10 s keeps every session hot until GO.
     last, ka = time.perf_counter(), 0
-    while not os.path.exists(GO_FILE):
+    while not os.path.exists(go_file):
         time.sleep(0.05)
         if os.getppid() == 1:
             return  # parent died: don't orphan-hammer the chip forever
@@ -255,14 +260,16 @@ def main(n_procs=2):
     unroll = int(os.environ.get("BENCH_UNROLL", "32"))
     centuries = int(os.environ.get("BENCH_CENTURIES", "16"))
     protocol = os.environ.get("BENCH_PROTOCOL", "dmr")
+    go_file = f"{GO_PREFIX}.{os.getpid()}"
     try:
-        os.remove(GO_FILE)
+        os.remove(go_file)
     except FileNotFoundError:
         pass
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
     procs = [ctx.Process(target=_worker,
-                         args=(r, reps, unroll, centuries, protocol, q))
+                         args=(r, reps, unroll, centuries, protocol, q,
+                               go_file))
              for r in range(n_procs)]
     # Cold-cache stagger: 8 workers starting at once each see a compile
     # cache miss and fire CONCURRENT remote compiles — the observed
@@ -273,10 +280,16 @@ def main(n_procs=2):
     # restores the all-at-once launch for A/B.
     stagger = os.environ.get("BENCH_STAGGER", "1") != "0" and n_procs > 1
 
+    pending = []  # out-of-phase messages, kept for their own collect
+
     def collect(expect, n):
         """n messages of kind `expect`; an ("error", ...) message aborts
-        with a parseable JSON line (unattended-driver contract)."""
-        got = []
+        with a parseable JSON line (unattended-driver contract). A
+        message of another kind is stashed, not fatal — an unattended
+        run must survive phase skew, not die on an assert."""
+        got = [m for m in pending if m[0] == expect][:n]
+        for m in got:
+            pending.remove(m)
         while len(got) < n:
             msg = q.get(timeout=3600)
             if msg[0] == "error":
@@ -288,8 +301,10 @@ def main(n_procs=2):
                     if p.pid is not None and p.is_alive():
                         p.terminate()
                 sys.exit(1)
-            assert msg[0] == expect, msg
-            got.append(msg)
+            if msg[0] == expect:
+                got.append(msg)
+            else:
+                pending.append(msg)
         return got
 
     if stagger:
@@ -302,8 +317,14 @@ def main(n_procs=2):
         for p in procs:
             p.start()
         collect("ready", n_procs)
-    open(GO_FILE, "w").write("go")
-    results = collect("done", n_procs)
+    open(go_file, "w").write("go")
+    try:
+        results = collect("done", n_procs)
+    finally:
+        try:
+            os.remove(go_file)
+        except FileNotFoundError:
+            pass
     for p in procs:
         p.join()
     results.sort(key=lambda r: r[1])  # by rank
