@@ -152,6 +152,28 @@ def _make_stage_step(stage, pipe, channels, centuries, sps, L, unroll):
                                 for v in jax.tree.leaves(out))
                 state.demod.pos = jnp.zeros_like(state.demod.pos)
             return acc + state.demod.offset.sum()
+    elif stage == "step_iq_planes":
+        # planar raw-IQ ingest (the production layout on this tunnel —
+        # complex64 host transfer is unimplemented); with
+        # DIGIHAM_FUSED_FRONT=1 this is the fully-fused one-kernel chain
+        @jax.jit
+        def step_k(seed, state0):
+            kr, ki = jax.random.split(jax.random.key(seed))
+            bre = jax.lax.optimization_barrier(
+                jax.random.normal(kr, (channels, LB), jnp.float32))
+            bim = jax.lax.optimization_barrier(
+                jax.random.normal(ki, (channels, LB), jnp.float32))
+            acc = jnp.float32(0)
+            lre = jnp.ones((channels,), jnp.float32)
+            lim = jnp.zeros((channels,), jnp.float32)
+            state = state0
+            for k in range(unroll):
+                out, (lre, lim), state = pipe.step_iq_planes(
+                    win(bre, k), win(bim, k), lre, lim, state)
+                acc = acc + sum(jnp.sum(v.astype(jnp.float32))
+                                for v in jax.tree.leaves(out))
+                state.demod.pos = jnp.zeros_like(state.demod.pos)
+            return acc + state.demod.offset.sum()
     else:
         raise ValueError(f"unknown BENCH_STAGE {stage!r}")
     return step_k

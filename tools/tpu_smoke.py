@@ -232,6 +232,89 @@ def smoke_demod_dma():
                          f"resident t16): {checks}")
 
 
+def smoke_fused_front():
+    """On-hardware fused-front parity (front="rrc" and "fm_rrc" vs the
+    two-stage chain). Unlike demod_dma (identical DMA'd values -> exact),
+    the fused front recomputes the RRC on the MXU inside Mosaic, whose
+    accumulation order may differ from XLA's matmul — decisions must
+    match modulo the documented knife-edge envelope (<1% dibits) and
+    SER vs the TX ground truth must be statistically identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from digiham_tpu.dsp.demod import DemodState, demod_init
+    from digiham_tpu.dsp.fm import fm_discriminator
+    from digiham_tpu.dsp.rrc import (WIDE_RRC, RrcState,
+                                     _rrc_filter_block_matmul)
+    from digiham_tpu.ops.demod_pallas import (pallas_demod_block,
+                                              pallas_demod_fm_front_block,
+                                              pallas_demod_front_block)
+
+    rng = np.random.default_rng(31)
+    C, n_cent, sps = 64, 8, 10
+    L = n_cent * (100 * sps + 1) + 8
+    tx = rng.integers(0, 4, (C, L // sps + 2))
+    taps = WIDE_RRC.scaled_taps.tobytes()
+    st0 = demod_init(C)
+    rrc0 = RrcState.init(C, WIDE_RRC)
+
+    results = []
+    # --- sample-domain front ("rrc") -------------------------------
+    sig = np.repeat(LEVELS4[tx], sps, axis=-1)[:, :L] * 1000
+    sig = jnp.asarray((sig + rng.normal(0, 80, (C, L))).astype(np.float32))
+    filt, _ = jax.jit(_rrc_filter_block_matmul,
+                      static_argnums=2)(sig, rrc0, WIDE_RRC)
+    d_u, s_u = pallas_demod_block(filt, st0, n_cent, sps, mode="gfsk",
+                                  tile=32, dma=True)
+    d_f, s_f = pallas_demod_front_block(
+        sig, rrc0.history, st0, taps=taps, n_centuries=n_cent, sps=sps,
+        tile=32)
+    du, df = np.asarray(d_u), np.asarray(d_f)
+    diff_rrc = float((du != df).mean())
+    sym_tx = tx[:, 1:n_cent * 100]  # skip symbol 0 (AGC settle)
+    ser_u = float((du[:, 1:] != sym_tx).mean())
+    ser_f = float((df[:, 1:] != sym_tx).mean())
+    results.append(("rrc", diff_rrc, ser_u, ser_f))
+    # --- raw-IQ front ("fm_rrc") ------------------------------------
+    freq = np.repeat(LEVELS4[tx], sps, axis=-1)[:, :L] * 1944.0
+    phase = 2 * np.pi * np.cumsum(freq, axis=1) / 48000.0
+    iq_host = np.exp(1j * phase)
+    iq_host += rng.normal(0, .02, (C, L)) + 1j * rng.normal(0, .02,
+                                                            (C, L))
+    # complex64 host->device transfer is UNIMPLEMENTED on this tunnel:
+    # upload the planes and combine on device inside a jit (CLAUDE.md;
+    # same pattern as tools/tpu_voice_demo.py)
+    re = jnp.asarray(iq_host.real.astype(np.float32))
+    im = jnp.asarray(iq_host.imag.astype(np.float32))
+    last = jnp.ones((C,), jnp.float32)
+    lastz = jnp.zeros((C,), jnp.float32)
+
+    @jax.jit
+    def unfused_audio(re, im, lre, lim):
+        audio, _ = fm_discriminator(jax.lax.complex(re, im),
+                                    jax.lax.complex(lre, lim))
+        return audio
+
+    filt, _ = jax.jit(_rrc_filter_block_matmul, static_argnums=2)(
+        unfused_audio(re, im, last, lastz) * 5000.0, rrc0, WIDE_RRC)
+    d_u, _ = pallas_demod_block(filt, st0, n_cent, sps, mode="gfsk",
+                                tile=32, dma=True)
+    d_f, _ = pallas_demod_fm_front_block(
+        re, im, last, lastz, rrc0.history, st0,
+        taps=taps, n_centuries=n_cent, sps=sps, tile=32)
+    du, df = np.asarray(d_u), np.asarray(d_f)
+    diff_fm = float((du != df).mean())
+    ser_u_fm = float((du[:, 1:] != sym_tx).mean())
+    ser_f_fm = float((df[:, 1:] != sym_tx).mean())
+    results.append(("fm_rrc", diff_fm, ser_u_fm, ser_f_fm))
+    ok = all(d < 0.01 and abs(su - sf) < 0.005 and sf < 0.02
+             for _, d, su, sf in results)
+    detail = "; ".join(
+        f"{n}: diff={d:.5f} ser_unfused={su:.5f} ser_fused={sf:.5f}"
+        for n, d, su, sf in results)
+    return ok, detail
+
+
 def smoke_multistream(channels=4, n_procs=2):
     """The production multi-process serving driver on hardware: each
     worker owns its own device client session (the dispatch-overlap
@@ -273,6 +356,7 @@ def main(only=None):
     cases = {"dmr": smoke_dmr, "ysf": smoke_ysf, "nxdn": smoke_nxdn,
              "dstar": smoke_dstar, "pocsag": smoke_pocsag,
              "viterbi": smoke_viterbi, "demod_dma": smoke_demod_dma,
+             "fused_front": smoke_fused_front,
              "multistream": smoke_multistream}
     if only:
         cases = {k: v for k, v in cases.items() if k in only}
