@@ -301,7 +301,12 @@ def main():
 
     pipe = DmrPipeline(channels=channels, sps=sps, n_centuries=n_cent)
     samples_per_step = n_cent * 100 * sps  # per channel, consumed
-    L = n_cent * (100 * sps + 1) + 8
+    # size the window so the demod kernel never right-pads (jnp.pad
+    # materializes a full-block copy per step — 16.8 MB at 256x16c)
+    from digiham_tpu.ops.demod_pallas import preferred_block_len
+    L = max(n_cent * (100 * sps + 1) + 8,
+            preferred_block_len(n_cent, sps, pipe.rrc_design.ntaps
+                                if pipe.rrc_design else 0))
     # time-based seed base defeats the backend's cross-run result cache
     seed_base = int(time.time()) % 1000000
 
@@ -318,6 +323,14 @@ def main():
                 + out["bptc_data"].sum()
                 + out["sync_type"].sum()
                 + out["tact_slot"].sum())
+
+    # Ingest layout: "planar" (default, round 5) feeds I/Q component
+    # planes through step_iq_planes — the honest production layout on
+    # this hardware (the tunnel cannot transfer complex64 at all, so
+    # real ingest IS planar; measured +19% over the complex program at
+    # 8 procs x unroll 32, the complex split/combine was pure cost).
+    # BENCH_INGEST=complex reproduces the round-4 complex64 program.
+    ingest = os.environ.get("BENCH_INGEST", "planar")
 
     @jax.jit
     def step_k(seed, state0):
@@ -338,23 +351,41 @@ def main():
         """
         stride = 512
         state = state0
-        last_iq = jnp.ones((channels,), jnp.complex64)
         acc = jnp.int32(0)
         key = jax.random.key(seed)
         kr, ki = jax.random.split(key)
         LB = L + stride * (unroll - 1)
-        base = (jax.random.normal(kr, (channels, LB), jnp.float32)
-                + 1j * jax.random.normal(ki, (channels, LB), jnp.float32)
-                ).astype(jnp.complex64)
         # force ONE materialization: without the barrier XLA may fuse the
         # threefry generation into every consumer step (see bench_fir.py)
-        base = jax.lax.optimization_barrier(base)
-        for k in range(unroll):
-            iq = jax.lax.slice_in_dim(base, k * stride, k * stride + L,
-                                      axis=1)
-            out, last_iq, state = pipe.step_iq(iq, last_iq, state)
-            acc = acc + checksum(out)
-            state = rebase(state)
+        if ingest == "planar":
+            base_re = jax.lax.optimization_barrier(
+                jax.random.normal(kr, (channels, LB), jnp.float32))
+            base_im = jax.lax.optimization_barrier(
+                jax.random.normal(ki, (channels, LB), jnp.float32))
+            last_re = jnp.ones((channels,), jnp.float32)
+            last_im = jnp.zeros((channels,), jnp.float32)
+            for k in range(unroll):
+                re = jax.lax.slice_in_dim(base_re, k * stride,
+                                          k * stride + L, axis=1)
+                im = jax.lax.slice_in_dim(base_im, k * stride,
+                                          k * stride + L, axis=1)
+                out, (last_re, last_im), state = pipe.step_iq_planes(
+                    re, im, last_re, last_im, state)
+                acc = acc + checksum(out)
+                state = rebase(state)
+        else:
+            last_iq = jnp.ones((channels,), jnp.complex64)
+            base = (jax.random.normal(kr, (channels, LB), jnp.float32)
+                    + 1j * jax.random.normal(ki, (channels, LB),
+                                             jnp.float32)
+                    ).astype(jnp.complex64)
+            base = jax.lax.optimization_barrier(base)
+            for k in range(unroll):
+                iq = jax.lax.slice_in_dim(base, k * stride,
+                                          k * stride + L, axis=1)
+                out, last_iq, state = pipe.step_iq(iq, last_iq, state)
+                acc = acc + checksum(out)
+                state = rebase(state)
         # consume the final carry so no step's state update is dead code
         acc = (acc
                + state.demod.volume_ring.sum().astype(jnp.int32)
@@ -466,6 +497,9 @@ def main():
     # force the resident twin — parse the value, "0" is falsy here.
     v = os.environ.get("DIGIHAM_DEMOD_DMA")
     result["demod_dma"] = True if v is None else v not in ("0", "false", "")
+    result["ingest"] = ingest
+    fv = os.environ.get("DIGIHAM_FUSED_FRONT")
+    result["fused_front"] = bool(fv) and fv not in ("0", "false", "")
     print(json.dumps(result))
 
 

@@ -198,6 +198,23 @@ def _shift_bound(n_centuries: int, sps: int) -> int:
     return pos_guard(sps) - 1 + 127 + 2 * n_centuries
 
 
+def preferred_block_len(n_centuries: int, sps: int, ntaps: int = 0) -> int:
+    """Smallest L the demod kernels accept WITHOUT an internal right-pad:
+    jnp.pad materializes a full [C, L] copy (two for the fused front's
+    planes) on every step when L < last_start + load — ~16.8 MB/step of
+    pure HBM traffic at 256ch x 16 centuries. Benchmarks and streaming
+    drivers that control their own block size should allocate this L
+    up front (the pad branch stays as the safety net for arbitrary L).
+    ntaps > 0 additionally covers the fused front's century-0 window."""
+    span = CENTURY * sps + 1
+    n = CENTURY * sps
+    load = -(-(span + _shift_bound(n_centuries, sps)) // 128) * 128
+    L = _century_start(n_centuries - 1, n) + load
+    if ntaps:
+        L = max(L, load + _front_prefix(ntaps))
+    return -(-L // 128) * 128
+
+
 def pick_tile(C: int, L: int, n_centuries: int, sps: int,
               dma: bool = False, front: str | None = None,
               ntaps: int = 0) -> int:

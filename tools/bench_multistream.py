@@ -210,7 +210,11 @@ def _worker_body(rank, reps, unroll, centuries, protocol, q, go_file):
     stage = os.environ.get("BENCH_STAGE", "step")
     pipe = _make_pipe(protocol, channels, centuries)
     sps = pipe.sps
-    L = centuries * (100 * sps + 1) + 8
+    # pad-free window length (see ops.demod_pallas.preferred_block_len)
+    from digiham_tpu.ops.demod_pallas import preferred_block_len
+    ntaps = pipe.rrc_design.ntaps if pipe.rrc_design else 0
+    L = max(centuries * (100 * sps + 1) + 8,
+            preferred_block_len(centuries, sps, ntaps))
     seed_base = (int(time.time()) + rank * 997) % 1000000
     state0 = pipe.init_state()
 

@@ -269,12 +269,22 @@ def smoke_fused_front():
     d_f, s_f = pallas_demod_front_block(
         sig, rrc0.history, st0, taps=taps, n_centuries=n_cent, sps=sps,
         tile=32)
+    def best_ser(dec):
+        """SER vs TX at the best global symbol alignment: the RRC group
+        delay (ntaps-1)/2 samples = 4 symbols shifts decisions vs tx,
+        and timing acquisition settles over century 0 — scan shifts and
+        score the second half of the block."""
+        half = n_cent * 100 // 2
+        best = 1.0
+        for sh in range(0, 10):
+            got = dec[:, half:n_cent * 100 - 10]
+            want = tx[:, half - sh:n_cent * 100 - 10 - sh]
+            best = min(best, float((got != want).mean()))
+        return best
+
     du, df = np.asarray(d_u), np.asarray(d_f)
     diff_rrc = float((du != df).mean())
-    sym_tx = tx[:, 1:n_cent * 100]  # skip symbol 0 (AGC settle)
-    ser_u = float((du[:, 1:] != sym_tx).mean())
-    ser_f = float((df[:, 1:] != sym_tx).mean())
-    results.append(("rrc", diff_rrc, ser_u, ser_f))
+    results.append(("rrc", diff_rrc, best_ser(du), best_ser(df)))
     # --- raw-IQ front ("fm_rrc") ------------------------------------
     freq = np.repeat(LEVELS4[tx], sps, axis=-1)[:, :L] * 1944.0
     phase = 2 * np.pi * np.cumsum(freq, axis=1) / 48000.0
@@ -304,9 +314,7 @@ def smoke_fused_front():
         taps=taps, n_centuries=n_cent, sps=sps, tile=32)
     du, df = np.asarray(d_u), np.asarray(d_f)
     diff_fm = float((du != df).mean())
-    ser_u_fm = float((du[:, 1:] != sym_tx).mean())
-    ser_f_fm = float((df[:, 1:] != sym_tx).mean())
-    results.append(("fm_rrc", diff_fm, ser_u_fm, ser_f_fm))
+    results.append(("fm_rrc", diff_fm, best_ser(du), best_ser(df)))
     ok = all(d < 0.01 and abs(su - sf) < 0.005 and sf < 0.02
              for _, d, su, sf in results)
     detail = "; ".join(
