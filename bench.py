@@ -49,12 +49,15 @@ import numpy as np
 # wins. Smaller unrolls carry a larger serialized-dispatch floor
 # (~RTT/unroll), so the ladder is ordered most-honest-first. A completed
 # server-side compile is cached, so a retry after a timeout often starts
-# warm. The DMA-staged demod kernel is the production default (round-4
-# A/B); the third rung retries the honest unroll with the RESIDENT twin
-# (DIGIHAM_DEMOD_DMA=0, bit-exact) in case a DMA-kernel program ever
-# trips the remote helper.
+# warm. Rung 1 is the round-5 production program (planar ingest +
+# fused-front kernel, both hardware-certified); rung 3 falls back to
+# the two-stage chain (DIGIHAM_FUSED_FRONT=0) and rung 4 to the exact
+# round-4-certified complex-ingest program, in case a new-program class
+# ever trips the remote compile helper.
 ATTEMPTS = [(128, 16, 2400, {}), (64, 32, 1500, {}),
-            (128, 16, 1500, {"DIGIHAM_DEMOD_DMA": "0"}),
+            (128, 16, 1500, {"DIGIHAM_FUSED_FRONT": "0"}),
+            (128, 16, 1500, {"DIGIHAM_FUSED_FRONT": "0",
+                             "BENCH_INGEST": "complex"}),
             (32, 16, 1200, {})]
 
 

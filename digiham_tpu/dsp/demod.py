@@ -309,20 +309,23 @@ def fsk_demod_block(samples: jnp.ndarray, state: DemodState,
 
 
 def _fused_front_default(channels: int) -> bool:
-    """Fused-front (in-kernel RRC) kernel opt-in: DIGIHAM_FUSED_FRONT=1.
+    """Fused-front (in-kernel RRC / FM+RRC) kernel dispatch.
 
-    Default OFF until the hardware A/B certifies it (the round-4 rule:
-    never make an uncertified kernel the production path). A truthy env
-    forces it wherever the Pallas demod would run; requires the same
-    channels % 8 == 0 the other kernels do."""
+    Default ON where the Pallas demod runs (TPU): hardware-certified
+    round 5 — decision parity exact for front="rrc" / knife-edge-class
+    0.004% for "fm_rrc" (tpu_smoke fused_front), +6.3% (step) and
+    +4.6% (planar step_iq) at the 8-proc x unroll-32 serving point,
+    and it removes the filtered/audio HBM round trips entirely
+    (docs/HW_CERT_ROUND5.md). DIGIHAM_FUSED_FRONT=0 restores the
+    two-stage chain (bench.py's ladder uses it as a fallback rung)."""
     from ..utils import env_flag
 
     if channels % 8 != 0:
         return False
     env = env_flag("DIGIHAM_FUSED_FRONT")
-    if env is None:
-        return False
-    return bool(env) and _pallas_demod_default(channels)
+    if env is not None:
+        return bool(env) and _pallas_demod_default(channels)
+    return _pallas_demod_default(channels)
 
 
 def _rrc_demod_fused(samples, rrc_state, demod_state, n_centuries, sps,
